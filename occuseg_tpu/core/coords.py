@@ -1,0 +1,124 @@
+"""Packed coordinate keys — the TPU-native replacement for hash grids.
+
+The reference keeps sparse topology in per-scale hash maps
+(`google::dense_hash_map` on CPU, CUDPP multi-value hash tables on GPU; see
+reference `sparseconvnet/SCN/Metadata/Metadata.h:62-120` and
+`SCN/CUDA/CUDPPWrapper.hpp`). On TPU, mutable hash tables are hostile to XLA;
+instead every set of active sites is a **sorted array of packed int64 keys**:
+
+    key = (batch << 36) | (z << 24) | (y << 12) | (x)
+
+with 12 bits per spatial axis (the reference's input domain is a 4096^3
+window, `examples/ScanNet/config.py:49`). Membership queries — the core
+operation behind rulebook generation (reference
+`SCN/Metadata/SubmanifoldConvolutionRules.h:114-150`) — become
+`searchsorted` + equality, fully inside jit with static shapes.
+
+Padding rows carry `KEY_PAD`, which sorts after every real key, so sorted
+arrays keep all real sites in a contiguous prefix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# 12 bits per spatial axis -> [0, 4096) domain, matching the reference's
+# full_scale=4096 input window (config.py:49). Batch gets the remaining bits.
+AXIS_BITS = 12
+AXIS_SIZE = 1 << AXIS_BITS  # 4096
+_AXIS_MASK = AXIS_SIZE - 1
+
+# Sorts strictly after any real key (real keys are < 2^62 for batch < 2^26).
+KEY_PAD = jnp.int64(1) << jnp.int64(62)
+
+
+def pack(coords: jnp.ndarray) -> jnp.ndarray:
+    """Pack int32 coords [N,4] (b,z,y,x) into sortable int64 keys [N].
+
+    Rows with any out-of-range component (e.g. the -1 padding sentinel) map to
+    KEY_PAD so they sort to the end and never match a real query.
+    """
+    c = coords.astype(jnp.int64)
+    b, z, y, x = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    key = (b << (3 * AXIS_BITS)) | (z << (2 * AXIS_BITS)) | (y << AXIS_BITS) | x
+    spatial_ok = jnp.all((c[..., 1:] >= 0) & (c[..., 1:] < AXIS_SIZE), axis=-1)
+    valid = spatial_ok & (b >= 0)
+    return jnp.where(valid, key, KEY_PAD)
+
+
+def unpack(keys: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `pack`: int64 keys [N] -> int32 coords [N,4]; pad rows -> -1."""
+    b = (keys >> (3 * AXIS_BITS)).astype(jnp.int32)
+    z = ((keys >> (2 * AXIS_BITS)) & _AXIS_MASK).astype(jnp.int32)
+    y = ((keys >> AXIS_BITS) & _AXIS_MASK).astype(jnp.int32)
+    x = (keys & _AXIS_MASK).astype(jnp.int32)
+    out = jnp.stack([b, z, y, x], axis=-1)
+    return jnp.where((keys >= KEY_PAD)[..., None], jnp.int32(-1), out)
+
+
+def neighbor_keys(coords: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Keys of coords shifted by a spatial delta [3]; out-of-domain -> KEY_PAD.
+
+    Computed from unpacked coords (not by key arithmetic) so that border sites
+    never wrap into an adjacent axis field and alias a different real voxel.
+    """
+    shifted = coords.at[..., 1:].add(delta.astype(coords.dtype))
+    return pack(shifted)
+
+
+def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Row index of each query key in a KEY_PAD-padded sorted key array.
+
+    Returns int32 [Q]; -1 where the query key is absent. This is the TPU
+    equivalent of the reference's hash-grid probe
+    (`SubmanifoldConvolutionRules.h:130-141`).
+    """
+    pos = jnp.searchsorted(sorted_keys, queries).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    hit = (sorted_keys[pos_c] == queries) & (queries < KEY_PAD)
+    return jnp.where(hit, pos_c, jnp.int32(-1))
+
+
+def sort_by_key(keys: jnp.ndarray, *arrays: jnp.ndarray):
+    """Sort keys ascending, permuting companion row-arrays identically."""
+    order = jnp.argsort(keys)
+    return (keys[order],) + tuple(a[order] for a in arrays) + (order,)
+
+
+def unique_consecutive(sorted_keys: jnp.ndarray):
+    """Segment structure of a sorted (KEY_PAD-padded) key array.
+
+    Returns:
+      is_first:   bool [N] — True at the first row of each distinct real key.
+      segment_id: int32 [N] — 0-based index of the distinct key each row
+                  belongs to (padding rows get id = num_unique .. beyond).
+      num_unique: int32 scalar — number of distinct real keys.
+    """
+    valid = sorted_keys < KEY_PAD
+    prev = jnp.concatenate([sorted_keys[:1] - 1, sorted_keys[:-1]])
+    is_first = (sorted_keys != prev) & valid
+    segment_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    # Padding rows: push their segment id past the real range so segment
+    # reductions with num_segments=cap ignore them cleanly.
+    segment_id = jnp.where(valid, segment_id, sorted_keys.shape[0])
+    num_unique = jnp.sum(is_first.astype(jnp.int32))
+    return is_first, segment_id.astype(jnp.int32), num_unique
+
+
+def compact_unique(sorted_keys: jnp.ndarray, cap: int):
+    """Unique real keys of a sorted array, left-packed and padded to `cap`.
+
+    Returns (unique_keys[cap] int64, first_row[cap] int32, num_unique).
+    `first_row[j]` is the row in `sorted_keys` where unique key j first
+    appears (-1 for padding slots).
+    """
+    is_first, segment_id, num_unique = unique_consecutive(sorted_keys)
+    n = sorted_keys.shape[0]
+    slot = jnp.where(is_first, segment_id, cap)
+    unique_keys = jnp.full((cap + 1,), KEY_PAD, dtype=sorted_keys.dtype)
+    unique_keys = unique_keys.at[slot].set(sorted_keys, mode="drop")[:cap]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    first_row = jnp.full((cap + 1,), -1, dtype=jnp.int32)
+    first_row = first_row.at[slot].set(rows, mode="drop")[:cap]
+    return unique_keys, first_row, jnp.minimum(num_unique, cap)

@@ -1,0 +1,222 @@
+"""Topology planning — in-jit replacement for the reference's Metadata object.
+
+The reference threads a mutable C++ `Metadata<3>` through the network, lazily
+building and caching rulebooks per (scale, filter) on first touch
+(`SCN/Metadata/Metadata.cpp:503-625`), with GPU hash tables and host<->device
+rulebook round-trips (`SCN/CUDA/RuleBookIterator.h:43-60`). Here the whole
+multi-scale topology of a UNet is planned in ONE jitted pass over the input
+coordinates, producing a static-shaped `Topology` pytree that the (also
+jitted) forward/backward closes over. No host round-trips, no mutation.
+
+Maps produced (all padded, -1 = missing):
+  * per level: sorted unique voxel keys/coords + submanifold neighbor map
+    `nbr[N_cap, K^3]` — the analog of submanifold rulebooks
+    (`SubmanifoldConvolutionRules.h:114-150`). Because submanifold conv
+    preserves topology, conv = gather-neighbors + one matmul, NO scatter.
+  * per level transition: `child[M_cap, Kd^3]` (fine rows feeding each coarse
+    site — the strided-conv rulebook, `ConvolutionRules.h:18-128`, built from
+    the OUTPUT side so strided conv/pool are scatter-free too) and
+    `up[N_cap, Kd^3]` (coarse rows feeding each fine site — the
+    deconvolution rulebook, reused transposed in the reference,
+    `Deconvolution.cu`).
+  * input layer: point->voxel row map (`IOLayersRules.h:19-204` analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occuseg_tpu.core import coords as C
+
+
+def _offsets(kernel: int, dilation: int = 1) -> np.ndarray:
+    """Filter offsets [K^3, 3] in (dz,dy,dx), reference filter-linearization
+    order (z-major; `RectangularRegions.h:37-61` offset())."""
+    lo = -(kernel // 2) if kernel % 2 == 1 else 0
+    r = np.arange(lo, lo + kernel) * dilation
+    g = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1)
+    return g.reshape(-1, 3).astype(np.int32)
+
+
+def _even_offsets(kernel: int) -> np.ndarray:
+    """Offsets [K^3,3] for even (strided) kernels: 0..kernel-1 per axis."""
+    r = np.arange(kernel)
+    g = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1)
+    return g.reshape(-1, 3).astype(np.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LevelTopology:
+    """Active-site set of one scale + its submanifold neighbor map."""
+
+    keys: jnp.ndarray        # int64 [N_cap], sorted, KEY_PAD padding
+    coords: jnp.ndarray      # int32 [N_cap, 4] (b,z,y,x), -1 padding
+    num_active: jnp.ndarray  # int32 scalar
+    nbr: jnp.ndarray         # int32 [N_cap, K^3] neighbor rows, -1 missing
+
+    @property
+    def cap(self) -> int:
+        return self.keys.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LevelTransition:
+    """Down/up maps between level l (fine) and l+1 (coarse)."""
+
+    child: jnp.ndarray  # int32 [M_cap, Kd^3] fine rows per coarse site
+    up: jnp.ndarray     # int32 [N_cap, Kd^3] coarse rows per fine site
+    size: int = dataclasses.field(metadata=dict(static=True), default=2)
+    stride: int = dataclasses.field(metadata=dict(static=True), default=2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Topology:
+    """Full multi-scale plan for one batch."""
+
+    levels: Tuple[LevelTopology, ...]
+    transitions: Tuple[LevelTransition, ...]
+    p2v: jnp.ndarray         # int32 [P_cap] point -> level-0 voxel row (-1 pad)
+    num_points: jnp.ndarray  # int32 scalar
+
+    def overflow(self) -> jnp.ndarray:
+        """True if any level filled its cap (voxels were dropped) — the analog
+        of the reference's chunk-coverage abort
+        (`SubmanifoldConvolutionRules.h:351-354`); check in tests/debug."""
+        return jnp.stack(
+            [lv.num_active >= lv.cap for lv in self.levels]
+        ).any()
+
+
+def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1
+                ) -> LevelTopology:
+    """LevelTopology from sorted unique padded keys."""
+    coords = C.unpack(keys)
+    num_active = jnp.sum((keys < C.KEY_PAD).astype(jnp.int32))
+    nbrs = []
+    for off in _offsets(kernel, dilation):
+        q = C.neighbor_keys(coords, jnp.asarray(off))
+        nbrs.append(C.lookup(keys, q))
+    nbr = jnp.stack(nbrs, axis=1)
+    return LevelTopology(keys=keys, coords=coords, num_active=num_active,
+                         nbr=nbr)
+
+
+def voxelize_coords(point_coords: jnp.ndarray, cap: int):
+    """Unique voxel keys from padded point coords [P,4] (invalid rows -> -1).
+
+    Returns (sorted unique keys [cap], p2v [P] int32). The reference builds
+    this with GPU hash insert + compaction
+    (`Multival_Point_Hashtable::InsertAndCompactPointCloud`,
+    `CUDPPWrapper.hpp:760-788`); here it is sort + segment boundaries.
+    """
+    pkeys = C.pack(point_coords)
+    order = jnp.argsort(pkeys)
+    skeys = pkeys[order]
+    _, segment_id, _ = C.unique_consecutive(skeys)
+    unique_keys, _, _ = C.compact_unique(skeys, cap)
+    # p2v in original point order; points past cap or invalid -> -1
+    vox_row = jnp.where(segment_id < cap, segment_id, -1)
+    p2v = jnp.zeros(point_coords.shape[0], jnp.int32).at[order].set(vox_row)
+    return unique_keys, p2v
+
+
+def downsample_keys(level: LevelTopology, size: int, stride: int, cap: int
+                    ) -> jnp.ndarray:
+    """Output-site keys of a strided conv over `level`, sorted+padded.
+
+    For each input site, enumerate the output sites whose receptive field
+    covers it (`OutputRegionCalculator`, `RectangularRegions.h`), then
+    sort+unique. For size == stride this is exactly floor(coord/stride).
+    """
+    ncand = -(-size // stride)  # ceil(size/stride) candidates per axis
+    c = level.coords
+    base = jnp.where(c[:, 1:] >= 0, c[:, 1:] // stride, -1)
+    cand_keys = []
+    for tz in range(ncand):
+        for ty in range(ncand):
+            for tx in range(ncand):
+                t = jnp.array([tz, ty, tx], jnp.int32)
+                j = base - t
+                # output j covers input i iff j*stride <= i < j*stride + size
+                ok = jnp.all(
+                    (j >= 0) & (c[:, 1:] - j * stride < size), axis=-1
+                ) & (c[:, 0] >= 0)
+                cc = jnp.concatenate([c[:, :1], j], axis=-1)
+                cc = jnp.where(ok[:, None], cc, -1)
+                cand_keys.append(C.pack(cc))
+    all_keys = jnp.concatenate(cand_keys)
+    skeys = jnp.sort(all_keys)
+    unique_keys, _, _ = C.compact_unique(skeys, cap)
+    return unique_keys
+
+
+def build_transition(fine: LevelTopology, coarse: LevelTopology,
+                     size: int, stride: int) -> LevelTransition:
+    """Child (downsample) and up (deconv) maps between two built levels."""
+    offs = _even_offsets(size)
+    # child[j, k] = fine row at coarse_coord*stride + off_k
+    childs, ups = [], []
+    cc = coarse.coords
+    fc = fine.coords
+    for off in offs:
+        o = jnp.asarray(off)
+        tgt = jnp.concatenate([cc[:, :1], cc[:, 1:] * stride + o], axis=-1)
+        tgt = jnp.where(cc[:, :1] >= 0, tgt, -1)
+        childs.append(C.lookup(fine.keys, C.pack(tgt)))
+        # up[i, k] = coarse row j with j*stride + off_k == fine coord i
+        num = fc[:, 1:] - o
+        divisible = jnp.all(num % stride == 0, axis=-1) & jnp.all(num >= 0, axis=-1)
+        j = jnp.concatenate([fc[:, :1], num // stride], axis=-1)
+        j = jnp.where((divisible & (fc[:, 0] >= 0))[:, None], j, -1)
+        ups.append(C.lookup(coarse.keys, C.pack(j)))
+    return LevelTransition(child=jnp.stack(childs, axis=1),
+                           up=jnp.stack(ups, axis=1),
+                           size=size, stride=stride)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanSpec:
+    """Static description of the multiscale topology a network needs.
+
+    caps[l] is the padded active-site budget at level l; the reference has no
+    analog because it tolerates dynamic shapes — here caps are the bucketing
+    knob (SURVEY.md §7 'hard parts' #1).
+    """
+
+    caps: Tuple[int, ...]
+    kernel: int = 3
+    dilation: int = 1
+    down_size: int = 2
+    down_stride: int = 2
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.caps)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def build_plan(point_coords: jnp.ndarray, spec: PlanSpec) -> Topology:
+    """Plan the full topology from padded input point coords [P,4]."""
+    keys0, p2v = voxelize_coords(point_coords, spec.caps[0])
+    num_points = jnp.sum((C.pack(point_coords) < C.KEY_PAD).astype(jnp.int32))
+    levels = [build_level(keys0, spec.kernel, spec.dilation)]
+    transitions = []
+    for l in range(1, spec.num_levels):
+        keys_l = downsample_keys(levels[-1], spec.down_size, spec.down_stride,
+                                 spec.caps[l])
+        lvl = build_level(keys_l, spec.kernel, spec.dilation)
+        transitions.append(
+            build_transition(levels[-1], lvl, spec.down_size, spec.down_stride)
+        )
+        levels.append(lvl)
+    return Topology(levels=tuple(levels), transitions=tuple(transitions),
+                    p2v=p2v, num_points=num_points)

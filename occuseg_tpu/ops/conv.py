@@ -1,0 +1,89 @@
+"""Sparse convolution compute ops (XLA path).
+
+TPU-native replacement for the reference's gather-GEMM-scatter CUDA kernels
+(`SCN/CUDA/Convolution.cu:77-146` tiled kernels, `:1059-1253` chunk-based).
+Key structural difference: because topology maps are built from the OUTPUT
+side (`core/topology.py`), every op here is gather + matmul with NO scatter —
+the scatter-accumulate problem that forces atomicAdd on GPU
+(`Convolution.cu:1148`) does not exist on this path. Missing neighbors gather
+zeros via out-of-bounds `take(mode='fill')`.
+
+Weight layout [K^3, Cin, Cout] matches the reference
+(`submanifoldConvolution.py:27-29`) for checkpoint-import parity.
+
+All matmuls accumulate in float32 on the MXU via `preferred_element_type`;
+feature dtype (f32/bf16) is preserved on output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from occuseg_tpu.ops.gather import gather_rows as _gather_rows
+
+
+def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
+                bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """out[r] = sum_k feats[nbr[r,k]] @ weight[k]  (+ bias).
+
+    The single primitive behind submanifold conv (nbr = same-level neighbor
+    map), strided conv (nbr = transition.child), and deconvolution
+    (nbr = transition.up). feats [N,Cin], nbr [M,K], weight [K,Cin,Cout].
+    """
+    out_dtype = feats.dtype
+    K = weight.shape[0]
+    acc = None
+    for k in range(K):
+        g = _gather_rows(feats, nbr[:, k])
+        p = jax.lax.dot_general(
+            g, weight[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(out_dtype)
+
+
+def gather_conv_fused(feats: jnp.ndarray, nbr: jnp.ndarray,
+                      weight: jnp.ndarray,
+                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Same contraction as `gather_conv` but as one [M, K*Cin] @ [K*Cin, Cout]
+    matmul — better MXU utilization when Cin is small, at the cost of
+    materializing the gathered block. Used by the Pallas path for tiling.
+    """
+    out_dtype = feats.dtype
+    K, Cin, Cout = weight.shape
+    g = _gather_rows(feats, nbr.reshape(-1))          # [M*K, Cin]
+    g = g.reshape(nbr.shape[0], K * Cin)
+    w = weight.reshape(K * Cin, Cout)
+    out = jax.lax.dot_general(
+        g, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def nin(feats: jnp.ndarray, weight: jnp.ndarray,
+        bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """NetworkInNetwork: 1x1 conv = plain row matmul (reference
+    `SCN/CUDA/NetworkInNetwork.cu`, `networkInNetwork.py`)."""
+    out = jax.lax.dot_general(
+        feats, weight, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(feats.dtype)
+
+
+def conv_flops(nbr: jnp.ndarray, cin: int, cout: int) -> jnp.ndarray:
+    """MulAdd count of a gather_conv — the analog of the reference's
+    `forward_pass_multiplyAdd_count` (`submanifoldConvolution.py:97-107`).
+    Counts only real (non-missing) rulebook pairs, like the reference."""
+    pairs = jnp.sum((nbr >= 0).astype(jnp.int64))
+    return pairs * cin * cout

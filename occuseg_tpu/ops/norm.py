@@ -1,0 +1,77 @@
+"""Masked batch normalization with fused (leaky-)ReLU.
+
+Matches the reference's semantics exactly
+(`SCN/CPU/BatchNormalization.cpp:18-64`, params at
+`sparseconvnet/batchNormalization.py:114-191`):
+  * statistics over ACTIVE rows only (padding rows excluded via num_active);
+  * eps = 1e-4 (inside the sqrt of the normalizer);
+  * running stats: r = momentum * r + (1-momentum) * batch  (momentum=0.9,
+    i.e. momentum is a DECAY, unlike torch.nn.BatchNorm);
+  * running_var uses the unbiased (n-1) estimate; normalization the biased n;
+  * activation fused on the output: y > 0 ? y : leakiness * y
+    (leakiness 0 = ReLU, 1 = identity, 0.333 = BatchNormLeakyReLU default).
+
+Statistics are computed in float32 regardless of feature dtype.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BNState(NamedTuple):
+    running_mean: jnp.ndarray  # [C] f32
+    running_var: jnp.ndarray   # [C] f32
+
+
+def init_state(num_channels: int) -> BNState:
+    return BNState(running_mean=jnp.zeros((num_channels,), jnp.float32),
+                   running_var=jnp.ones((num_channels,), jnp.float32))
+
+
+def batch_norm(feats: jnp.ndarray,
+               num_active: jnp.ndarray,
+               scale: jnp.ndarray,
+               bias: jnp.ndarray,
+               state: BNState,
+               *,
+               eps: float = 1e-4,
+               momentum: float = 0.9,
+               leakiness: float = 1.0,
+               training: bool = True) -> Tuple[jnp.ndarray, BNState]:
+    """Fused masked BN + leaky activation. Returns (out, new_state)."""
+    f = feats.astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (feats.shape[0], 1), 0)[:, 0]
+    mask = (rows < num_active)[:, None]
+    n = jnp.maximum(num_active.astype(jnp.float32), 1.0)
+    if training:
+        mean = jnp.sum(jnp.where(mask, f, 0), axis=0) / n
+        sumsq = jnp.sum(jnp.where(mask, f * f, 0), axis=0)
+        var_b = sumsq / n - mean * mean                  # biased
+        var_u = (sumsq - mean * mean * n) / jnp.maximum(n - 1.0, 1.0)
+        inv_std = jax.lax.rsqrt(var_b + eps)
+        new_state = BNState(
+            running_mean=momentum * state.running_mean
+            + (1 - momentum) * jax.lax.stop_gradient(mean),
+            running_var=momentum * state.running_var
+            + (1 - momentum) * jax.lax.stop_gradient(var_u),
+        )
+    else:
+        mean = state.running_mean
+        inv_std = jax.lax.rsqrt(state.running_var + eps)
+        new_state = state
+    w = inv_std * scale.astype(jnp.float32)
+    b = bias.astype(jnp.float32) - mean * w
+    y = f * w + b
+    if leakiness != 1.0:
+        y = jnp.where(y > 0, y, leakiness * y)
+    y = jnp.where(mask, y, 0)
+    return y.astype(feats.dtype), new_state
+
+
+def leaky_relu(feats: jnp.ndarray, leakiness: float = 0.0) -> jnp.ndarray:
+    """Standalone LeakyReLU (reference `SCN/CUDA/LeakyReLU.cu`)."""
+    return jnp.where(feats > 0, feats, leakiness * feats)
