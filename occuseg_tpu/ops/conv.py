@@ -23,6 +23,12 @@ import jax.numpy as jnp
 from occuseg_tpu.ops.gather import gather_rows as _gather_rows
 
 
+def _acc_dtype(dtype) -> jnp.dtype:
+    """f32 MXU accumulation for f32/bf16; full f64 when running as an
+    oracle with f64 inputs (tests only — TPU never sees f64)."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
 def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
                 bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k]  (+ bias).
@@ -32,6 +38,7 @@ def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
     (nbr = transition.up). feats [N,Cin], nbr [M,K], weight [K,Cin,Cout].
     """
     out_dtype = feats.dtype
+    acc_t = _acc_dtype(out_dtype)
     K = weight.shape[0]
     acc = None
     for k in range(K):
@@ -39,11 +46,11 @@ def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
         p = jax.lax.dot_general(
             g, weight[k],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
         acc = p if acc is None else acc + p
     if bias is not None:
-        acc = acc + bias.astype(jnp.float32)
+        acc = acc + bias.astype(acc_t)
     return acc.astype(out_dtype)
 
 
@@ -55,16 +62,17 @@ def gather_conv_fused(feats: jnp.ndarray, nbr: jnp.ndarray,
     materializing the gathered block. Used by the Pallas path for tiling.
     """
     out_dtype = feats.dtype
+    acc_t = _acc_dtype(out_dtype)
     K, Cin, Cout = weight.shape
     g = _gather_rows(feats, nbr.reshape(-1))          # [M*K, Cin]
     g = g.reshape(nbr.shape[0], K * Cin)
     w = weight.reshape(K * Cin, Cout)
     out = jax.lax.dot_general(
         g, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
+        out = out + bias.astype(acc_t)
     return out.astype(out_dtype)
 
 
@@ -72,12 +80,13 @@ def nin(feats: jnp.ndarray, weight: jnp.ndarray,
         bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """NetworkInNetwork: 1x1 conv = plain row matmul (reference
     `SCN/CUDA/NetworkInNetwork.cu`, `networkInNetwork.py`)."""
+    acc_t = _acc_dtype(feats.dtype)
     out = jax.lax.dot_general(
         feats, weight, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
+        out = out + bias.astype(acc_t)
     return out.astype(feats.dtype)
 
 
