@@ -1,0 +1,138 @@
+"""OccuSeg model family (reference `examples/ScanNet/model.py`).
+
+* `ThreeVoxelKernel` (`model.py:748-784`): InputLayer -> SubmanifoldConv ->
+  UNet -> BN-ReLU -> OutputLayer backbone + semantic/embedding/offset heads.
+* `InstanceDenseUNet` (`model.py:657-691`): same backbone + embedding /
+  offset(sigmoid) / displacement heads.
+* `LearningBWDenseUNet` (`model.py:693-717`): the full OccuSeg model —
+  backbone + per-point bandwidth (2-dim Softplus) and occupancy (1-dim
+  Softplus) heads.
+
+Head wiring copies the reference exactly: each head is fc -> linear with NO
+intermediate activation (`model.py:687-691`), sigmoid on offset, Softplus on
+bw/occupancy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from occuseg_tpu.core.topology import Topology
+from occuseg_tpu.nn.modules import (
+    BatchNormReLU,
+    InputLayer,
+    OutputLayer,
+    SubmanifoldConvolution,
+)
+from occuseg_tpu.nn.unet import UNet
+
+
+class OccuSegOutputs(NamedTuple):
+    """Per-point predictions, all [P_cap, ...]; padding rows are zero."""
+
+    semantics: jnp.ndarray       # [P, num_classes] logits
+    features: jnp.ndarray        # [P, m] backbone features
+    embedding: jnp.ndarray       # [P, m]
+    offset: jnp.ndarray          # [P, 1] sigmoid centredness
+    displacement: jnp.ndarray    # [P, 3] regressed offset to instance center
+    bw: jnp.ndarray | None = None         # [P, 2] softplus bandwidths
+    occupancy: jnp.ndarray | None = None  # [P, 1] softplus log-occupancy
+
+
+class _Backbone(nn.Module):
+    """InputLayer -> SubConv(in, m) -> UNet -> BN-ReLU -> OutputLayer."""
+
+    n_planes: Tuple[int, ...]
+    block_reps: int = 1
+    residual_blocks: bool = True
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> jnp.ndarray:
+        x = InputLayer(mode="mean", name="input")(point_features, plan, train)
+        x = SubmanifoldConvolution(self.n_planes[0], name="sub")(
+            x, plan, train)
+        x = UNet(self.block_reps, tuple(self.n_planes),
+                 residual_blocks=self.residual_blocks, name="unet")(
+            x, plan, train)
+        x = BatchNormReLU(name="bn")(x, plan, train)
+        return OutputLayer(name="output")(x, plan, train)
+
+
+class ThreeVoxelKernel(nn.Module):
+    """Semantic + embedding + offset model (reference `model.py:748-784`)."""
+
+    n_planes: Tuple[int, ...]
+    num_classes: int = 20
+    block_reps: int = 1
+    residual_blocks: bool = True
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> OccuSegOutputs:
+        m = self.n_planes[0]
+        feature = _Backbone(tuple(self.n_planes), self.block_reps,
+                            self.residual_blocks, name="backbone")(
+            point_features, plan, train)
+        y = nn.Dense(self.num_classes, name="linear")(feature)
+        embedding = nn.Dense(m, name="linear_embedding")(
+            nn.Dense(m, name="fc_embedding")(feature))
+        offset = nn.sigmoid(nn.Dense(1, name="linear_regress")(
+            nn.Dense(m, name="fc_regress")(feature)))
+        return OccuSegOutputs(semantics=y, features=feature,
+                              embedding=embedding, offset=offset,
+                              displacement=jnp.zeros(
+                                  feature.shape[:1] + (3,), feature.dtype))
+
+
+class InstanceDenseUNet(nn.Module):
+    """Backbone + semantic/embedding/offset/displacement heads
+    (reference `model.py:657-691`)."""
+
+    n_planes: Tuple[int, ...]
+    num_classes: int = 20
+    block_reps: int = 1
+    residual_blocks: bool = True
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> OccuSegOutputs:
+        m = self.n_planes[0]
+        feature = _Backbone(tuple(self.n_planes), self.block_reps,
+                            self.residual_blocks, name="backbone")(
+            point_features, plan, train)
+        y = nn.Dense(self.num_classes, name="linear")(feature)
+        embedding = nn.Dense(m, name="linear_embedding")(
+            nn.Dense(m, name="fc_embedding")(feature))
+        offset = nn.sigmoid(nn.Dense(1, name="linear_regress")(
+            nn.Dense(m, name="fc_regress")(feature)))
+        displacement = nn.Dense(3, name="linear_displacement")(
+            nn.Dense(m, name="fc_displacement")(feature))
+        return OccuSegOutputs(semantics=y, features=feature,
+                              embedding=embedding, offset=offset,
+                              displacement=displacement)
+
+
+class LearningBWDenseUNet(nn.Module):
+    """The flagship OccuSeg model (reference `model.py:693-717`)."""
+
+    n_planes: Tuple[int, ...]
+    num_classes: int = 20
+    block_reps: int = 1
+    residual_blocks: bool = True
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> OccuSegOutputs:
+        m = self.n_planes[0]
+        base = InstanceDenseUNet(
+            tuple(self.n_planes), self.num_classes, self.block_reps,
+            self.residual_blocks, name="backbone")(point_features, plan, train)
+        bw = nn.softplus(nn.Dense(2, name="linear_bw")(
+            nn.Dense(m, name="fc_bw")(base.features)))
+        occupancy = nn.softplus(nn.Dense(1, name="linear_occupancy")(
+            nn.Dense(m, name="fc_occupancy")(base.features)))
+        return base._replace(bw=bw, occupancy=occupancy)

@@ -1,0 +1,15 @@
+from occuseg_tpu.nn.modules import (
+    AveragePooling,
+    BatchNormalization,
+    BatchNormLeakyReLU,
+    BatchNormReLU,
+    Convolution,
+    Deconvolution,
+    InputLayer,
+    MaxPooling,
+    NetworkInNetwork,
+    OutputLayer,
+    SubmanifoldConvolution,
+    UnPooling,
+)
+from occuseg_tpu.nn.unet import UNet, FullyConvolutionalNet, SparseResNet, SparseVggNet

@@ -1,0 +1,246 @@
+"""Sparse NN modules (flax.linen) — the reference's Python op library (L4).
+
+Mirrors `sparseconvnet/*.py` module-for-module: SubmanifoldConvolution
+(`submanifoldConvolution.py:35-53`), Convolution (`convolution.py`),
+Deconvolution (`deconvolution.py`), BatchNorm family
+(`batchNormalization.py`), NetworkInNetwork (`networkInNetwork.py`), poolings
+(`maxPooling.py` etc.), IO layers (`ioLayers.py`). Weight layout
+[K^3, Cin, Cout] and He init std (2 / (Cin * K^3))^0.5 match the reference
+(`submanifoldConvolution.py:26-29`) for checkpoint-import parity.
+
+Every module's __call__ signature is `(x: SparseTensor, plan: Topology,
+train: bool)`; topology is read from the plan (never mutated), and level
+transitions just change the tensor's static `level` index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from occuseg_tpu.core.sparse_tensor import SparseTensor
+from occuseg_tpu.core.topology import Topology
+from occuseg_tpu.ops import conv as conv_ops
+from occuseg_tpu.ops import norm as norm_ops
+from occuseg_tpu.ops import pool as pool_ops
+
+
+def _he_conv_init(volume: int):
+    def init(key, shape, dtype=jnp.float32):
+        cin = shape[1]
+        std = (2.0 / (cin * volume)) ** 0.5
+        return std * jnp.asarray(
+            nn.initializers.normal(1.0)(key, shape, jnp.float32), dtype)
+    return init
+
+
+class SubmanifoldConvolution(nn.Module):
+    """Same-topology K^3 convolution (reference `submanifoldConvolution.py`)."""
+
+    out_features: int
+    kernel: int = 3
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        nbr = plan.levels[x.level].nbr
+        K = nbr.shape[1]
+        assert K == self.kernel ** 3, (
+            f"plan built with kernel {int(round(K ** (1/3)))}, "
+            f"module wants {self.kernel}")
+        w = self.param("weight", _he_conv_init(K),
+                       (K, x.num_channels, self.out_features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
+                        self.param_dtype) if self.use_bias else None)
+        out = conv_ops.gather_conv(x.features, nbr, w, b)
+        return dataclasses.replace(x, features=out)
+
+
+class Convolution(nn.Module):
+    """Strided convolution to the next-coarser level (reference
+    `convolution.py`; rulebook = transition child map)."""
+
+    out_features: int
+    size: int = 2
+    stride: int = 2
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        tr = plan.transitions[x.level]
+        assert tr.size == self.size and tr.stride == self.stride
+        K = tr.child.shape[1]
+        w = self.param("weight", _he_conv_init(K),
+                       (K, x.num_channels, self.out_features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
+                        self.param_dtype) if self.use_bias else None)
+        out = conv_ops.gather_conv(x.features, tr.child, w, b)
+        lvl = plan.levels[x.level + 1]
+        return SparseTensor(features=out, num_active=lvl.num_active,
+                            level=x.level + 1)
+
+
+class Deconvolution(nn.Module):
+    """Transposed strided convolution back to the finer level (reference
+    `deconvolution.py`; rulebook = transition up map)."""
+
+    out_features: int
+    size: int = 2
+    stride: int = 2
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        assert x.level > 0, "Deconvolution needs a finer level to return to"
+        tr = plan.transitions[x.level - 1]
+        assert tr.size == self.size and tr.stride == self.stride
+        K = tr.up.shape[1]
+        w = self.param("weight", _he_conv_init(K),
+                       (K, x.num_channels, self.out_features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
+                        self.param_dtype) if self.use_bias else None)
+        out = conv_ops.gather_conv(x.features, tr.up, w, b)
+        lvl = plan.levels[x.level - 1]
+        return SparseTensor(features=out, num_active=lvl.num_active,
+                            level=x.level - 1)
+
+
+class NetworkInNetwork(nn.Module):
+    """1x1 convolution = row matmul (reference `networkInNetwork.py`)."""
+
+    out_features: int
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        w = self.param("weight", _he_conv_init(1),
+                       (x.num_channels, self.out_features), self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
+                        self.param_dtype) if self.use_bias else None)
+        return x.with_features(conv_ops.nin(x.features, w, b))
+
+
+class BatchNormalization(nn.Module):
+    """Masked BN + optional fused leaky activation; reference semantics
+    (eps=1e-4, decay-momentum=0.9, leakiness: 0=ReLU, 1=none)."""
+
+    eps: float = 1e-4
+    momentum: float = 0.9
+    leakiness: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        c = x.num_channels
+        scale = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "running_mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "running_var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        state = norm_ops.BNState(ra_mean.value, ra_var.value)
+        out, new_state = norm_ops.batch_norm(
+            x.features, x.num_active, scale, bias, state,
+            eps=self.eps, momentum=self.momentum, leakiness=self.leakiness,
+            training=train)
+        if train and not self.is_initializing():
+            ra_mean.value = new_state.running_mean
+            ra_var.value = new_state.running_var
+        return x.with_features(out)
+
+
+class BatchNormReLU(BatchNormalization):
+    leakiness: float = 0.0
+
+
+class BatchNormLeakyReLU(BatchNormalization):
+    leakiness: float = 0.333
+
+
+class MaxPooling(nn.Module):
+    """(reference `maxPooling.py`)"""
+
+    size: int = 2
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        tr = plan.transitions[x.level]
+        out = pool_ops.max_pool(x.features, tr.child)
+        lvl = plan.levels[x.level + 1]
+        return SparseTensor(features=out, num_active=lvl.num_active,
+                            level=x.level + 1)
+
+
+class AveragePooling(nn.Module):
+    """(reference `averagePooling.py`)"""
+
+    size: int = 2
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        tr = plan.transitions[x.level]
+        out = pool_ops.avg_pool(x.features, tr.child)
+        lvl = plan.levels[x.level + 1]
+        return SparseTensor(features=out, num_active=lvl.num_active,
+                            level=x.level + 1)
+
+
+class UnPooling(nn.Module):
+    """(reference `unPooling.py`)"""
+
+    size: int = 2
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        assert x.level > 0
+        tr = plan.transitions[x.level - 1]
+        out = pool_ops.unpool(x.features, tr.up)
+        lvl = plan.levels[x.level - 1]
+        return SparseTensor(features=out, num_active=lvl.num_active,
+                            level=x.level - 1)
+
+
+class InputLayer(nn.Module):
+    """Point cloud -> level-0 sparse tensor (reference `ioLayers.py:47-63`,
+    mode 4 = mean pooling of point features into voxels)."""
+
+    mode: str = "mean"
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        lvl = plan.levels[0]
+        vox = pool_ops.voxelize_features(point_features, plan.p2v, lvl.cap,
+                                         mode=self.mode)
+        return SparseTensor(features=vox, num_active=lvl.num_active, level=0)
+
+
+class OutputLayer(nn.Module):
+    """Level-0 sparse tensor -> per-point features (reference
+    `ioLayers.py:66-87`)."""
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> jnp.ndarray:
+        assert x.level == 0, "OutputLayer expects level-0 features"
+        return pool_ops.devoxelize_features(x.features, plan.p2v)
