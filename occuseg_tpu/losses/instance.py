@@ -1,0 +1,305 @@
+"""OccuSeg multi-task losses, fully batched as segment reductions.
+
+Reference semantics (all file:line into /root/reference):
+  * semantic CE: `train_instance.py:189` (F.cross_entropy, ignore -100);
+  * discriminative embedding loss: `discriminative.py:117-226`
+    (delta_v=0.2, delta_d=1.5 at `train_instance.py:38-39`; pull
+    clamp(||e-mu||-dv,0)^2, push clamp(2*dd-||mu_a-mu_b||,0)^2 over
+    same-scene centroid pairs / n(n-1), regularizer gamma=0.001 * mean||mu||);
+  * offset regression: L1 over foreground (label>1) * regress_weight=100
+    (`train_instance.py:252`, `config.py:9`);
+  * displacement: per-instance (GT class>1) mean of ||d_p - d_gt||_2,
+    averaged over instances then scenes (`train_instance.py:217-236`);
+  * occupancy: per-instance mean |occ_p - log(size)| + per-instance std of
+    occ, same averaging (`train_instance.py:221-236`);
+  * classification (soft-membership BCE): `discriminative.py:40-117` —
+    per instance with >=30 points: prob_p = exp(-(||e_p-mu||*s1)^2
+    - (||x_p-mean_pose||*s2)^2) where (s1,s2)=instance-mean bandwidths,
+    sampled at points with spatial distance < 4*max-instance-radius; BCE vs
+    membership, mean over instances, *10; instance IoU metric alongside.
+
+The reference loops over scenes and instances in Python; here instances are
+globally-numbered segments [0, I_cap) across the whole padded batch and every
+per-instance quantity is one `segment_*` call. The [P, I] membership matrix
+in `classification_loss` is formed via MXU-friendly |a|^2+|b|^2-2ab.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    delta_v: float = 0.2
+    delta_d: float = 1.5
+    gamma: float = 0.001
+    regress_weight: float = 100.0
+    classification_weight: float = 10.0
+    min_instance_points: int = 30
+    num_classes: int = 20
+    foreground_class_threshold: int = 2  # label > 1, skip wall/floor
+
+
+def _seg_sum(x, seg, num):
+    return jax.ops.segment_sum(x, seg, num_segments=num)
+
+
+def _seg_mean(x, seg, num):
+    s = _seg_sum(x, seg, num)
+    cnt = _seg_sum(jnp.ones(x.shape[:1], x.dtype), seg, num)
+    return s / jnp.maximum(cnt[..., None] if x.ndim > 1 else cnt, 1), cnt
+
+
+def _sanitize_seg(instance_id, num):
+    """-1 (invalid) -> num, so reductions with num_segments=num drop them."""
+    return jnp.where(instance_id >= 0, instance_id, num).astype(jnp.int32)
+
+
+def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Mean CE over points with label >= 0 (torch ignore_index=-100)."""
+    valid = labels >= 0
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, nll, 0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1)
+
+
+def _instance_stats(instance_id: jnp.ndarray, point_scene: jnp.ndarray,
+                    labels: jnp.ndarray, num_instances: int):
+    """Per-instance scene id, point count, and (first) GT class."""
+    seg = _sanitize_seg(instance_id, num_instances)
+    ones = jnp.ones_like(seg, jnp.float32)
+    count = _seg_sum(jnp.where(instance_id >= 0, ones, 0), seg, num_instances + 1)[:num_instances]
+    scene = jax.ops.segment_max(
+        jnp.where(instance_id >= 0, point_scene, -1), seg,
+        num_segments=num_instances + 1)[:num_instances]
+    cls = jax.ops.segment_max(
+        jnp.where(instance_id >= 0, labels, -10000), seg,
+        num_segments=num_instances + 1)[:num_instances]
+    exists = count > 0
+    return scene, count, cls, exists
+
+
+def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
+                        point_scene: jnp.ndarray, num_scenes: int,
+                        num_instances: int,
+                        cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+    e = embedding.astype(jnp.float32)
+    I = num_instances
+    seg = _sanitize_seg(instance_id, I)
+    mu, cnt = _seg_mean(jnp.where((instance_id >= 0)[:, None], e, 0), seg, I + 1)
+    mu, cnt = mu[:I], cnt[:I]
+    exists = cnt > 0
+    valid_pt = instance_id >= 0
+
+    # pull (variance) term: per-scene mean over points, then mean over scenes
+    dev = jnp.linalg.norm(e - mu[jnp.clip(seg, 0, I - 1)], axis=1)
+    dev = jnp.maximum(dev - cfg.delta_v, 0.0) ** 2
+    pscene = jnp.where(valid_pt, point_scene, num_scenes)
+    per_scene_sum = _seg_sum(jnp.where(valid_pt, dev, 0), pscene, num_scenes + 1)
+    per_scene_cnt = _seg_sum(valid_pt.astype(jnp.float32), pscene, num_scenes + 1)
+    scene_has = per_scene_cnt[:num_scenes] > 0
+    l_v = jnp.sum(per_scene_sum[:num_scenes]
+                  / jnp.maximum(per_scene_cnt[:num_scenes], 1))
+
+    # push (distance) term: same-scene centroid pairs
+    iscene = jax.ops.segment_max(
+        jnp.where(valid_pt, point_scene, -1), seg, num_segments=I + 1)[:I]
+    d = jnp.linalg.norm(mu[:, None, :] - mu[None, :, :] + 1e-12, axis=-1)
+    same_scene = (iscene[:, None] == iscene[None, :])
+    pair_ok = (same_scene & exists[:, None] & exists[None, :]
+               & ~jnp.eye(I, dtype=bool))
+    hinge = jnp.maximum(2 * cfg.delta_d - d, 0.0) ** 2
+    # per-scene normalization n(n-1)
+    n_per_scene = _seg_sum(exists.astype(jnp.float32),
+                           jnp.where(iscene >= 0, iscene, num_scenes),
+                           num_scenes + 1)[:num_scenes]
+    pair_scene = jnp.where(pair_ok, iscene[:, None], num_scenes)
+    pair_sum = _seg_sum(jnp.where(pair_ok, hinge, 0).reshape(-1),
+                        pair_scene.reshape(-1), num_scenes + 1)[:num_scenes]
+    denom = jnp.maximum(n_per_scene * (n_per_scene - 1), 1.0)
+    l_d = jnp.sum(jnp.where(n_per_scene > 1, pair_sum / denom, 0.0))
+
+    # regularization: per-scene mean centroid norm
+    mu_norm = jnp.linalg.norm(mu + 1e-12, axis=1)
+    reg_sum = _seg_sum(jnp.where(exists, mu_norm, 0),
+                       jnp.where((iscene >= 0) & exists, iscene, num_scenes),
+                       num_scenes + 1)[:num_scenes]
+    l_r = jnp.sum(jnp.where(n_per_scene > 0, reg_sum / jnp.maximum(n_per_scene, 1), 0))
+
+    n_scenes = jnp.maximum(jnp.sum(scene_has.astype(jnp.float32)), 1.0)
+    return (l_v + l_d + cfg.gamma * l_r) / n_scenes
+
+
+def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
+                        regressed_pose: jnp.ndarray, pose: jnp.ndarray,
+                        instance_id: jnp.ndarray, point_scene: jnp.ndarray,
+                        labels: jnp.ndarray, num_scenes: int,
+                        num_instances: int,
+                        cfg: LossConfig = LossConfig()
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-membership BCE + instance IoU (reference
+    `discriminative.py:40-117`, weight *10 applied here)."""
+    I = num_instances
+    e = embedding.astype(jnp.float32)
+    x = pose.astype(jnp.float32)
+    rx = regressed_pose.astype(jnp.float32)
+    seg = _sanitize_seg(instance_id, I)
+    valid_pt = instance_id >= 0
+
+    mu, cnt = _seg_mean(jnp.where(valid_pt[:, None], e, 0), seg, I + 1)
+    mean_pose, _ = _seg_mean(jnp.where(valid_pt[:, None], x, 0), seg, I + 1)
+    sig, _ = _seg_mean(jnp.where(valid_pt[:, None],
+                                 bw.astype(jnp.float32), 0), seg, I + 1)
+    mu, mean_pose, sig, cnt = mu[:I], mean_pose[:I], sig[:I], cnt[:I]
+    scene_i, count_i, cls_i, exists = _instance_stats(
+        instance_id, point_scene, labels, I)
+    use = exists & (count_i >= cfg.min_instance_points)
+
+    # [P, I] squared distances via |a|^2 + |b|^2 - 2 a.b (MXU path)
+    def sqdist(a, b):
+        an = jnp.sum(a * a, axis=1, keepdims=True)
+        bn = jnp.sum(b * b, axis=1, keepdims=True)
+        return jnp.maximum(
+            an + bn.T - 2.0 * jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32), 0.0)
+
+    d_emb = jnp.sqrt(sqdist(e, mu) + 1e-12)          # [P, I]
+    d_spat_r = jnp.sqrt(sqdist(rx, mean_pose) + 1e-12)
+    d_spat = jnp.sqrt(sqdist(x, mean_pose) + 1e-12)
+
+    # instance radius = max spatial distance of its own points to its center
+    own_d = jnp.take_along_axis(
+        d_spat, jnp.clip(seg, 0, I - 1)[:, None], axis=1)[:, 0]
+    radius = jax.ops.segment_max(
+        jnp.where(valid_pt, own_d, 0), seg, num_segments=I + 1)[:I]
+
+    same_scene = point_scene[:, None] == scene_i[None, :]
+    sample = (d_spat < 4.0 * radius[None, :]) & same_scene & use[None, :]
+    member = (seg[:, None] == jnp.arange(I)[None, :]) & valid_pt[:, None]
+
+    d1 = d_emb * sig[None, :, 0]
+    d2 = d_spat_r * sig[None, :, 1]
+    prob = jnp.exp(-(d1 * d1) - (d2 * d2))
+    prob = jnp.clip(prob, 1e-7, 1 - 1e-7)
+    bce = -(member * jnp.log(prob) + (~member) * jnp.log1p(-prob))
+    bce = jnp.where(sample, bce, 0)
+    n_samp = jnp.maximum(jnp.sum(sample, axis=0), 1)
+    per_inst = jnp.sum(bce, axis=0) / n_samp
+    n_inst = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(jnp.where(use, per_inst, 0)) / n_inst * cfg.classification_weight
+
+    pred = (prob > 0.5) & sample
+    gt = member & sample
+    tp = jnp.sum((pred & gt), axis=0).astype(jnp.float32)
+    fp = jnp.sum((pred & ~gt), axis=0).astype(jnp.float32)
+    tot = jnp.sum(gt, axis=0).astype(jnp.float32)
+    iou = tp / jnp.maximum(tot + fp, 1.0)
+    miou = jnp.sum(jnp.where(use, iou, 0)) / n_inst
+    return loss, miou
+
+
+def _per_instance_cluster_losses(values_err: jnp.ndarray,
+                                 occ: jnp.ndarray,
+                                 instance_id: jnp.ndarray,
+                                 point_scene: jnp.ndarray,
+                                 labels: jnp.ndarray,
+                                 num_scenes: int, num_instances: int,
+                                 cfg: LossConfig):
+    """Shared machinery for displacement / occupancy cluster terms:
+    per-instance mean error (and occ std), restricted to GT class > 1,
+    averaged over instances within a scene then over scenes."""
+    I = num_instances
+    seg = _sanitize_seg(instance_id, I)
+    valid_pt = instance_id >= 0
+    scene_i, count_i, cls_i, exists = _instance_stats(
+        instance_id, point_scene, labels, I)
+    fg = exists & (cls_i >= cfg.foreground_class_threshold)
+
+    err_mean, _ = _seg_mean(jnp.where(valid_pt, values_err, 0)[:, None],
+                            seg, I + 1)
+    err_mean = err_mean[:I, 0]
+    occ_mean, _ = _seg_mean(jnp.where(valid_pt[:, None], occ, 0), seg, I + 1)
+    # centered two-pass variance (E[x^2]-E[x]^2 cancels catastrophically);
+    # unbiased, matching torch_scatter scatter_std default
+    centered = occ[:, 0] - occ_mean[jnp.clip(seg, 0, I - 1), 0]
+    sq_sum = _seg_sum(jnp.where(valid_pt, centered * centered, 0), seg, I + 1)
+    n = jnp.maximum(count_i, 1.0)
+    var = sq_sum[:I] / jnp.maximum(n - 1, 1)
+    occ_std = jnp.sqrt(jnp.maximum(var, 0) + 1e-12)
+
+    iscene_fg = jnp.where(fg, scene_i, num_scenes)
+    n_fg = _seg_sum(fg.astype(jnp.float32), iscene_fg, num_scenes + 1)[:num_scenes]
+    scene_sum = lambda v: _seg_sum(jnp.where(fg, v, 0), iscene_fg,
+                                   num_scenes + 1)[:num_scenes]
+    per_scene = lambda v: jnp.sum(
+        jnp.where(n_fg > 0, scene_sum(v) / jnp.maximum(n_fg, 1), 0))
+    scene_has = _seg_sum(exists.astype(jnp.float32),
+                         jnp.where(exists, scene_i, num_scenes),
+                         num_scenes + 1)[:num_scenes] > 0
+    n_scenes = jnp.maximum(jnp.sum(scene_has.astype(jnp.float32)), 1.0)
+    return per_scene(err_mean) / n_scenes, per_scene(occ_std) / n_scenes, (
+        per_scene, n_scenes)
+
+
+def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
+                       num_scenes: int, num_instances: int,
+                       cfg: LossConfig = LossConfig(),
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Assemble the 6-term training loss (reference
+    `train_instance.py:186-255`, combination at `:416`).
+
+    batch keys (all padded to P_cap, padding rows label=-1/instance=-1):
+      labels [P] int32, instance_id [P] int32, point_scene [P] int32,
+      pose [P,3] f32 (coords/scale), offsets [P,1] f32, displacements [P,3]
+      f32, occupancy [P,1] f32 (log instance size).
+    """
+    labels = batch["labels"]
+    iid = batch["instance_id"]
+    pscene = batch["point_scene"]
+    fg_pt = labels >= cfg.foreground_class_threshold
+
+    sem = semantic_cross_entropy(outputs.semantics, labels)
+    emb = discriminative_loss(outputs.embedding, iid, pscene, num_scenes,
+                              num_instances, cfg)
+
+    # offset (centredness) regression: L1 over foreground points * 100
+    n_fg = jnp.maximum(jnp.sum(fg_pt.astype(jnp.float32)), 1.0)
+    off_l1 = jnp.abs(outputs.offset.astype(jnp.float32) - batch["offsets"])
+    regression = (jnp.sum(jnp.where(fg_pt[:, None], off_l1, 0)) / n_fg
+                  / off_l1.shape[1] * cfg.regress_weight)
+
+    disp_err = jnp.linalg.norm(
+        outputs.displacement.astype(jnp.float32) - batch["displacements"]
+        + 1e-12, axis=1)
+    occ_err = jnp.linalg.norm(
+        outputs.occupancy.astype(jnp.float32) - batch["occupancy"] + 1e-12,
+        axis=1)
+    displacement, _, helpers = _per_instance_cluster_losses(
+        disp_err, outputs.occupancy.astype(jnp.float32), iid, pscene, labels,
+        num_scenes, num_instances, cfg)
+    occ_mean_term, occ_std_term, _ = _per_instance_cluster_losses(
+        occ_err, outputs.occupancy.astype(jnp.float32), iid, pscene, labels,
+        num_scenes, num_instances, cfg)
+    occupancy = occ_mean_term + occ_std_term
+
+    regressed_pose = batch["pose"] - outputs.displacement.astype(jnp.float32)
+    classification, miou = classification_loss(
+        outputs.embedding, outputs.bw, regressed_pose, batch["pose"], iid,
+        pscene, labels, num_scenes, num_instances, cfg)
+
+    total = sem + regression + emb + displacement + classification + occupancy
+    return total, {
+        "semantic_loss": sem, "embedding_loss": emb,
+        "regression_loss": regression, "displacement_loss": displacement,
+        "classification_loss": classification, "occupancy_loss": occupancy,
+        "instance_iou": miou, "total": total,
+    }

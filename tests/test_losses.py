@@ -1,0 +1,123 @@
+"""Loss library: finiteness, gradient flow, and directional sanity checks."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from occuseg_tpu.losses import (
+    LossConfig,
+    classification_loss,
+    discriminative_loss,
+    occuseg_total_loss,
+    semantic_cross_entropy,
+)
+from occuseg_tpu.models.occuseg import OccuSegOutputs
+
+P, I, S, E = 400, 16, 2, 8
+
+
+def _batch(seed=0, n_valid=350):
+    rng = np.random.default_rng(seed)
+    iid = rng.integers(0, I, P).astype(np.int32)
+    scene = (np.arange(P) * S // P).astype(np.int32)
+    # make instances scene-consistent: instance k lives in scene k % S
+    iid = np.where(scene == (iid % S), iid, (iid // S) * S + scene).astype(np.int32)
+    labels = (iid % 18 + 2).astype(np.int32)  # all foreground
+    iid[n_valid:] = -1
+    labels[n_valid:] = -1
+    pose = rng.standard_normal((P, 3)).astype(np.float32)
+    batch = dict(
+        labels=jnp.asarray(labels),
+        instance_id=jnp.asarray(iid),
+        point_scene=jnp.asarray(scene),
+        pose=jnp.asarray(pose),
+        offsets=jnp.asarray(rng.uniform(0, 1, (P, 1)).astype(np.float32)),
+        displacements=jnp.asarray(
+            rng.standard_normal((P, 3)).astype(np.float32) * 0.1),
+        # per-instance-constant log-size, like the real GT (scannet.py:247)
+        occupancy=jnp.asarray(
+            np.log(np.maximum(np.bincount(np.maximum(iid, 0), minlength=I)[
+                np.clip(iid, 0, I - 1)], 1)).astype(np.float32)[:, None]),
+    )
+    return rng, batch, iid, scene
+
+
+def _outputs(rng, embedding=None):
+    emb = (embedding if embedding is not None
+           else rng.standard_normal((P, E)).astype(np.float32))
+    return OccuSegOutputs(
+        semantics=jnp.asarray(rng.standard_normal((P, 20)).astype(np.float32)),
+        features=jnp.asarray(emb),
+        embedding=jnp.asarray(emb),
+        offset=jnp.asarray(rng.uniform(0, 1, (P, 1)).astype(np.float32)),
+        displacement=jnp.asarray(
+            rng.standard_normal((P, 3)).astype(np.float32) * 0.1),
+        bw=jnp.asarray(rng.uniform(0.5, 2, (P, 2)).astype(np.float32)),
+        occupancy=jnp.asarray(rng.uniform(1, 5, (P, 1)).astype(np.float32)),
+    )
+
+
+def test_semantic_ce_ignores_invalid():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((10, 5)).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 1, 2, 3, 4, -1, -1, -1, -1, -1],
+                                  np.int32))
+    l1 = semantic_cross_entropy(logits, labels)
+    l2 = semantic_cross_entropy(logits[:5], labels[:5])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_discriminative_prefers_clustered_embeddings():
+    rng, batch, iid, scene = _batch()
+    centers = np.random.default_rng(9).standard_normal((I, E)) * 10
+    clustered = np.where(
+        (iid >= 0)[:, None],
+        centers[np.clip(iid, 0, I - 1)]
+        + 0.01 * rng.standard_normal((P, E)), 0).astype(np.float32)
+    l_good = discriminative_loss(jnp.asarray(clustered),
+                                 batch["instance_id"], batch["point_scene"],
+                                 S, I)
+    random = rng.standard_normal((P, E)).astype(np.float32) * 0.05
+    l_bad = discriminative_loss(jnp.asarray(random), batch["instance_id"],
+                                batch["point_scene"], S, I)
+    assert float(l_good) < float(l_bad)
+    assert np.isfinite(float(l_good)) and np.isfinite(float(l_bad))
+
+
+def test_classification_loss_finite_and_iou_range():
+    rng, batch, iid, scene = _batch(2)
+    out = _outputs(rng)
+    loss, miou = classification_loss(
+        out.embedding, out.bw, batch["pose"] - out.displacement,
+        batch["pose"], batch["instance_id"], batch["point_scene"],
+        batch["labels"], S, I)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(miou) <= 1.0
+
+
+def test_total_loss_and_gradients():
+    rng, batch, iid, scene = _batch(3)
+    out = _outputs(rng)
+
+    def f(emb):
+        o = out._replace(embedding=emb)
+        total, parts = occuseg_total_loss(o, batch, S, I)
+        return total
+
+    total, parts = occuseg_total_loss(out, batch, S, I)
+    for k, v in parts.items():
+        assert np.isfinite(float(v)), k
+    assert float(parts["semantic_loss"]) > 0
+    g = jax.grad(f)(out.embedding)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+    # no gradient to padding rows
+    assert np.all(np.asarray(g)[350:] == 0)
+
+
+def test_perfect_occupancy_gives_zero_loss():
+    rng, batch, iid, scene = _batch(4)
+    out = _outputs(rng)._replace(occupancy=batch["occupancy"])
+    _, parts = occuseg_total_loss(out, batch, S, I)
+    assert float(parts["occupancy_loss"]) < 1e-5
