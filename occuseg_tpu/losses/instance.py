@@ -45,6 +45,12 @@ class LossConfig:
     foreground_class_threshold: int = 2  # label > 1, skip wall/floor
 
 
+def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """||x||_2 with a bounded gradient at 0 (norm's grad is 0/0 there; a
+    singleton instance has e == mu exactly, so this is hit in practice)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
+
 def _seg_sum(x, seg, num):
     return jax.ops.segment_sum(x, seg, num_segments=num)
 
@@ -100,7 +106,7 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
     valid_pt = instance_id >= 0
 
     # pull (variance) term: per-scene mean over points, then mean over scenes
-    dev = jnp.linalg.norm(e - mu[jnp.clip(seg, 0, I - 1)], axis=1)
+    dev = _safe_norm(e - mu[jnp.clip(seg, 0, I - 1)], axis=1)
     dev = jnp.maximum(dev - cfg.delta_v, 0.0) ** 2
     pscene = jnp.where(valid_pt, point_scene, num_scenes)
     per_scene_sum = _seg_sum(jnp.where(valid_pt, dev, 0), pscene, num_scenes + 1)
@@ -112,7 +118,7 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
     # push (distance) term: same-scene centroid pairs
     iscene = jax.ops.segment_max(
         jnp.where(valid_pt, point_scene, -1), seg, num_segments=I + 1)[:I]
-    d = jnp.linalg.norm(mu[:, None, :] - mu[None, :, :] + 1e-12, axis=-1)
+    d = _safe_norm(mu[:, None, :] - mu[None, :, :], axis=-1)
     same_scene = (iscene[:, None] == iscene[None, :])
     pair_ok = (same_scene & exists[:, None] & exists[None, :]
                & ~jnp.eye(I, dtype=bool))
@@ -128,7 +134,7 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
     l_d = jnp.sum(jnp.where(n_per_scene > 1, pair_sum / denom, 0.0))
 
     # regularization: per-scene mean centroid norm
-    mu_norm = jnp.linalg.norm(mu + 1e-12, axis=1)
+    mu_norm = _safe_norm(mu, axis=1)
     reg_sum = _seg_sum(jnp.where(exists, mu_norm, 0),
                        jnp.where((iscene >= 0) & exists, iscene, num_scenes),
                        num_scenes + 1)[:num_scenes]
@@ -277,12 +283,11 @@ def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
     regression = (jnp.sum(jnp.where(fg_pt[:, None], off_l1, 0)) / n_fg
                   / off_l1.shape[1] * cfg.regress_weight)
 
-    disp_err = jnp.linalg.norm(
-        outputs.displacement.astype(jnp.float32) - batch["displacements"]
-        + 1e-12, axis=1)
-    occ_err = jnp.linalg.norm(
-        outputs.occupancy.astype(jnp.float32) - batch["occupancy"] + 1e-12,
+    disp_err = _safe_norm(
+        outputs.displacement.astype(jnp.float32) - batch["displacements"],
         axis=1)
+    occ_err = _safe_norm(
+        outputs.occupancy.astype(jnp.float32) - batch["occupancy"], axis=1)
     displacement, _, helpers = _per_instance_cluster_losses(
         disp_err, outputs.occupancy.astype(jnp.float32), iid, pscene, labels,
         num_scenes, num_instances, cfg)

@@ -1,0 +1,121 @@
+"""Train state + single-device training step.
+
+Replaces the reference training loop internals (`train_instance.py:345-485`):
+Adam (lr 1e-3) with stepwise gamma decay (`:475-482`), full fwd/bwd over the
+multi-task model, loss assembly via `losses.instance`. The whole step — plan
+building included — is one jitted function: the reference's lazy host-side
+rulebook caching (`Metadata.cpp:503-530`) becomes part of the compiled
+program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from occuseg_tpu.core.topology import PlanSpec, build_plan
+from occuseg_tpu.losses.instance import LossConfig, occuseg_total_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Canonical hyperparams (reference `training_script/train_instance.sh`):
+    Adam lr 1e-3, gamma 1e-2 every 200 epochs."""
+
+    lr: float = 1e-3
+    lr_decay_gamma: float = 1e-2
+    lr_decay_steps: int = 200 * 240  # 200 epochs * ~240 steps/epoch
+    optimizer: str = "adam"
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr, transition_steps=cfg.lr_decay_steps,
+        decay_rate=cfg.lr_decay_gamma, staircase=True)
+    if cfg.optimizer == "adam":
+        return optax.adam(schedule)
+    if cfg.optimizer == "sgd":
+        # reference SGD branch (`train_instance.py` config['optim']=='SGD')
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.momentum),
+        )
+    raise ValueError(cfg.optimizer)
+
+
+def create_train_state(model, rng, sample_batch: Dict[str, jnp.ndarray],
+                       spec: PlanSpec, cfg: TrainConfig = TrainConfig()
+                       ) -> TrainState:
+    plan = build_plan(sample_batch["coords"], spec)
+    variables = model.init(rng, sample_batch["features"], plan, False)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
+                    loss_cfg: LossConfig = LossConfig(),
+                    num_scenes: int = 1, num_instances: int = 64,
+                    axis_name: str | None = None) -> Callable:
+    """Build the (un-jitted) train step; wrap in jit/shard_map by caller.
+
+    If `axis_name` is set, gradients and metrics are psum-averaged across the
+    named mesh axis (data parallelism — SURVEY.md §2.5 TPU plan).
+    """
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch):
+        plan = build_plan(batch["coords"], spec)
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["features"], plan, True, mutable=["batch_stats"])
+        total, parts = occuseg_total_loss(
+            outputs, batch, num_scenes, num_instances, loss_cfg)
+        return total, (parts, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (_, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            parts = jax.lax.pmean(parts, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), parts
+
+    return train_step
+
+
+def make_eval_step(model, spec: PlanSpec) -> Callable:
+    """Forward pass in eval mode (running BN stats), jitted by caller."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        plan = build_plan(batch["coords"], spec)
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"], plan, False)
+
+    return eval_step
