@@ -1,0 +1,97 @@
+"""Proposal filtering + instance precision/recall protocol.
+
+Reference: `evaluate_instance.py:1420-1436` (filter: majority class, size >
+outlier_ratio * class volumetric size, occupancy ratio in (0.3, 3)) and
+`:1486-1529`, `:1703-1741` (greedy IoU matching at 0.25/0.5; reported
+"mAP"/"mRecall" are precision tp/(tp+fp) and recall tp/total averaged over
+classes with finite values). NumPy metric code, like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# reference `sizes_scannet.txt` consumed at `evaluate_instance.py:1360-1365`:
+# per-class typical instance point counts used for the min-size filter.
+DEFAULT_CLASS_SIZES = np.array([
+    10000, 10000, 3000, 3000, 3000, 2000, 2000, 2000, 1000, 2000,
+    1000, 3000, 2000, 2000, 2000, 500, 1000, 500, 500, 500,
+], np.float32)
+
+
+def filter_proposals(point_instance: np.ndarray, semantic_pred: np.ndarray,
+                     occupancy_pred: np.ndarray,
+                     class_sizes: Optional[np.ndarray] = None,
+                     occupancy_lo: float = 0.3, occupancy_hi: float = 3.0,
+                     num_classes: int = 20) -> List[List[np.ndarray]]:
+    """Per-class lists of boolean point masks that survive the filters."""
+    if class_sizes is None:
+        class_sizes = DEFAULT_CLASS_SIZES
+    proposals: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
+    occ = occupancy_pred.reshape(-1)
+    for gid in np.unique(point_instance):
+        if gid < 0:
+            continue
+        mask = point_instance == gid
+        vals, counts = np.unique(semantic_pred[mask], return_counts=True)
+        cls = int(vals[np.argmax(counts)])
+        if cls < 0 or cls >= num_classes:
+            continue
+        outlier_ratio = 0.1 if cls == num_classes - 1 else 0.25
+        size = int(mask.sum())
+        occupancy_ratio = size / np.exp(occ[mask].mean())
+        if (size > outlier_ratio * class_sizes[cls]
+                and occupancy_lo < occupancy_ratio < occupancy_hi):
+            proposals[cls].append(mask)
+    return proposals
+
+
+def gt_instances(point_instance_gt: np.ndarray, semantic_gt: np.ndarray,
+                 num_classes: int = 20) -> List[List[np.ndarray]]:
+    instances: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
+    for gid in np.unique(point_instance_gt):
+        if gid < 0:
+            continue
+        mask = point_instance_gt == gid
+        vals, counts = np.unique(semantic_gt[mask], return_counts=True)
+        cls = int(vals[np.argmax(counts)])
+        if 0 <= cls < num_classes:
+            instances[cls].append(mask)
+    return instances
+
+
+def instance_precision_recall(
+        all_proposals: Sequence[List[List[np.ndarray]]],
+        all_instances: Sequence[List[List[np.ndarray]]],
+        iou_threshold: float = 0.5, num_classes: int = 20
+) -> Dict[str, float]:
+    """Greedy per-proposal best-IoU matching accumulated over scenes."""
+    tp = np.zeros(num_classes)
+    fp = np.zeros(num_classes)
+    total = np.zeros(num_classes)
+    for proposals, instances in zip(all_proposals, all_instances):
+        for c in range(num_classes):
+            total[c] += len(instances[c])
+            for u in proposals[c]:
+                best = 0.0
+                for v in instances[c]:
+                    inter = np.sum(u & v)
+                    union = np.sum(u | v)
+                    iou = inter / union if union else 0.0
+                    best = max(best, iou)
+                if best >= iou_threshold:
+                    tp[c] += 1
+                else:
+                    fp[c] += 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = tp / (tp + fp)
+        r = tp / total
+    return {
+        "precision_per_class": p, "recall_per_class": r,
+        "mAP": float(np.nanmean(p[np.isfinite(p)]))
+        if np.isfinite(p).any() else 0.0,
+        "mRecall": float(np.nanmean(r[np.isfinite(r)]))
+        if np.isfinite(r).any() else 0.0,
+    }

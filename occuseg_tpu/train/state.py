@@ -62,8 +62,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def create_train_state(model, rng, sample_batch: Dict[str, jnp.ndarray],
                        spec: PlanSpec, cfg: TrainConfig = TrainConfig()
                        ) -> TrainState:
-    plan = build_plan(sample_batch["coords"], spec)
-    variables = model.init(rng, sample_batch["features"], plan, False)
+    # jit the whole init: eager per-op dispatch is very slow on remote TPU
+    init_fn = jax.jit(
+        lambda r, f, c: model.init(r, f, build_plan(c, spec), False))
+    variables = init_fn(rng, sample_batch["features"], sample_batch["coords"])
     tx = make_optimizer(cfg)
     return TrainState(
         params=variables["params"],

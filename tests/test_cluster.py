@@ -1,0 +1,106 @@
+"""Instance extraction pipeline: supervoxel aggregation -> mean-shift ->
+proposals -> precision/recall, on a synthetic scene where ground truth is
+recoverable."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from occuseg_tpu.cluster import (
+    aggregate_regions,
+    filter_proposals,
+    instance_precision_recall,
+    meanshift_cluster,
+    occupancy_merge,
+)
+from occuseg_tpu.cluster.evaluator import gt_instances
+from occuseg_tpu.cluster.meanshift import labels_to_points
+
+P = 2000
+NUM_INST = 6
+E = 8
+R_CAP = 256
+
+
+def _scene(seed=0):
+    """Instances well-separated in embedding + space; supervoxels = spatial
+    groups of ~8 points within one instance."""
+    rng = np.random.default_rng(seed)
+    iid = (np.arange(P) * NUM_INST // P).astype(np.int64)
+    centers_e = rng.standard_normal((NUM_INST, E)) * 6
+    centers_x = rng.uniform(0, 10, (NUM_INST, 3))
+    emb = centers_e[iid] + rng.standard_normal((P, E)) * 0.15
+    xyz = centers_x[iid] + rng.standard_normal((P, 3)) * 0.2
+    displacement = xyz - centers_x[iid]  # perfect displacement regression
+    bw = np.full((P, 2), 1.2, np.float32)
+    offset = np.exp(-np.linalg.norm(displacement, axis=1) ** 2)[:, None]
+    sem = (iid % 17 + 2).astype(np.int32)  # all foreground classes
+    occupancy = np.full((P, 1), np.log(P // NUM_INST), np.float32)
+    # supervoxels: consecutive groups of 8 points (within one instance)
+    region = (np.arange(P) // 8).astype(np.int32)
+    return dict(emb=emb.astype(np.float32), xyz=xyz.astype(np.float32),
+                displacement=displacement.astype(np.float32), bw=bw,
+                offset=offset.astype(np.float32), sem=sem,
+                occupancy=occupancy, region=region, iid=iid)
+
+
+def test_meanshift_recovers_instances():
+    s = _scene()
+    regions = aggregate_regions(
+        jnp.asarray(s["emb"]), jnp.asarray(s["displacement"]),
+        jnp.asarray(s["xyz"]), jnp.asarray(s["bw"]),
+        jnp.asarray(s["offset"][:, 0]), jnp.asarray(s["sem"]),
+        jnp.asarray(s["occupancy"][:, 0]), jnp.asarray(s["region"]), R_CAP)
+    labels, count = meanshift_cluster(regions, max_instances=50)
+    pt_labels = np.asarray(labels_to_points(labels, jnp.asarray(s["region"])))
+    assert int(count) >= NUM_INST
+    # each GT instance should map to exactly one predicted cluster
+    for k in range(NUM_INST):
+        got = pt_labels[s["iid"] == k]
+        assert got.min() >= 0
+        vals, cnts = np.unique(got, return_counts=True)
+        assert cnts.max() / got.size > 0.95, f"instance {k} fragmented"
+    # and distinct GT instances get distinct clusters
+    modes = [np.bincount(pt_labels[s["iid"] == k]).argmax()
+             for k in range(NUM_INST)]
+    assert len(set(modes)) == NUM_INST
+
+
+def test_end_to_end_precision_recall():
+    s = _scene(1)
+    regions = aggregate_regions(
+        jnp.asarray(s["emb"]), jnp.asarray(s["displacement"]),
+        jnp.asarray(s["xyz"]), jnp.asarray(s["bw"]),
+        jnp.asarray(s["offset"][:, 0]), jnp.asarray(s["sem"]),
+        jnp.asarray(s["occupancy"][:, 0]), jnp.asarray(s["region"]), R_CAP)
+    labels, _ = meanshift_cluster(regions, max_instances=50)
+    pt_labels = np.asarray(labels_to_points(labels, jnp.asarray(s["region"])))
+    class_sizes = np.full(20, 10.0, np.float32)
+    props = filter_proposals(pt_labels, s["sem"], s["occupancy"],
+                             class_sizes=class_sizes)
+    gts = gt_instances(s["iid"], s["sem"])
+    res = instance_precision_recall([props], [gts], iou_threshold=0.5)
+    assert res["mAP"] > 0.95, res
+    assert res["mRecall"] > 0.95, res
+
+
+def test_occupancy_merge_joins_fragments():
+    """Two half-instances with identical embeddings and under-filled
+    occupancy should merge into one cluster."""
+    rng = np.random.default_rng(2)
+    R = 8
+    emb = np.zeros((R, 4), np.float32)
+    emb[:4] = 1.0   # cluster A+B share an embedding region
+    emb[4:] = -5.0  # cluster C far away
+    pose = np.zeros((R, 3), np.float32)
+    pose[4:] = 10.0
+    bw = np.full((R, 2), 1.0, np.float32)
+    count = np.full(R, 50.0, np.float32)
+    occ = np.full(R, np.log(400.0), np.float32)  # objects "should" have 400
+    cluster = np.array([0, 0, 1, 1, 2, 2, 2, 2], np.int32)
+    merged = occupancy_merge(cluster, emb, pose, bw, count, occ)
+    # A (regions 0-1, 100 pts) and B (regions 2-3, 100 pts) under-fill 400
+    assert merged[0] == merged[2], merged
+    # C stays separate
+    assert merged[4] != merged[0]
+    assert len({merged[4], merged[5], merged[6], merged[7]}) == 1
