@@ -13,11 +13,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# reference `sizes_scannet.txt` consumed at `evaluate_instance.py:1360-1365`:
+# verbatim `sizes_scannet.txt` (consumed at `evaluate_instance.py:1333`):
 # per-class typical instance point counts used for the min-size filter.
 DEFAULT_CLASS_SIZES = np.array([
-    10000, 10000, 3000, 3000, 3000, 2000, 2000, 2000, 1000, 2000,
-    1000, 3000, 2000, 2000, 2000, 500, 1000, 500, 500, 500,
+    6103, 28161, 3763, 11300, 2335, 8142, 4225, 3427, 4912, 14615,
+    934, 4261, 5159, 9811, 3917, 5650, 1960, 1046, 3108, 3089,
 ], np.float32)
 
 

@@ -1,0 +1,78 @@
+"""ctypes bindings for the C++ host runtime (csrc/native.cpp).
+
+Builds lazily via make on first use; every entry point has a NumPy fallback
+so the framework works even without a C++ toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libocc_native.so"))
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-s"], cwd=os.path.abspath(_CSRC),
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.segment_supervoxels.restype = ctypes.c_int32
+        lib.segment_supervoxels.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        lib.voxelize_points.restype = ctypes.c_int32
+        lib.voxelize_points.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def segment_supervoxels_native(points: np.ndarray, feat: np.ndarray,
+                               cell: float, k_thresh: float,
+                               min_size: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    ft = np.ascontiguousarray(feat, np.float32)
+    n = pts.shape[0]
+    out = np.empty(n, np.int32)
+    lib.segment_supervoxels(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ft.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, ft.shape[1], cell, k_thresh, min_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def voxelize_points_native(coords: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(coords, np.int32)
+    out = np.empty(c.shape[0], np.int32)
+    lib.voxelize_points(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), c.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

@@ -1,0 +1,101 @@
+"""CLI flags + config dict, flag-for-flag compatible with the reference
+(`examples/ScanNet/config.py:2-130`): same option names, defaults, and
+derived values (UNet widths [m..6m], input channel count from the
+`use_feature` string l/c/n/d/h), plus TPU-specific knobs (point/voxel caps,
+device count, dtype)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, List
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("occuseg_tpu")
+    # --- reference flags (config.py:4-72), same names/defaults ---
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--optim", default="Adam")
+    p.add_argument("--loss", default="cross_entropy")
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--regress_sigma", type=float, default=0.2)
+    p.add_argument("--regress_weight", type=float, default=100)
+    p.add_argument("--displacement_weight", type=float, default=100)
+    p.add_argument("--backbone_network", default="LearnBWNet.pth")
+    p.add_argument("--checkpoint_file", dest="load", default=False)
+    p.add_argument("--checkpoint", type=int, default=0)
+    p.add_argument("--dataset", default="scannet")
+    p.add_argument("--gamma", type=float, default=0)
+    p.add_argument("--step_size", type=int, default=60000)
+    p.add_argument("--max_epoch", type=int, default=2000)
+    p.add_argument("--checkpoints_dir", default="./ckpts/")
+    p.add_argument("--snapshot", type=float, default=1)
+    p.add_argument("--display", type=float, default=10)
+    p.add_argument("--taskname", default="default_name")
+    p.add_argument("--m", type=int, default=16)
+    p.add_argument("--residual_blocks", action="store_true", default=False)
+    p.add_argument("--block_reps", type=int, default=1)
+    p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--scale", type=int, default=20)
+    p.add_argument("--val_reps", type=int, default=1)
+    p.add_argument("--dimension", type=int, default=3)
+    p.add_argument("--full_scale", type=int, default=4096)
+    p.add_argument("--rotation_guide_level", type=int, default=0)
+    p.add_argument("--evaluate", action="store_true", default=False)
+    p.add_argument("--use_dense_model", action="store_true", default=False)
+    p.add_argument("--use_rotation_noise", action="store_true", default=False)
+    p.add_argument("--use_elastic", action="store_true", default=False)
+    p.add_argument("--use_normal", action="store_true", default=False)
+    p.add_argument("--use_full_normal", action="store_true", default=False)
+    p.add_argument("--simple_train", action="store_true", default=False)
+    p.add_argument("--all_to_train", action="store_true", default=False)
+    p.add_argument("--test_path", default="")
+    p.add_argument("--test_result_path", default="")
+    p.add_argument("--use_feature", default="c")
+    # --- TPU-build additions ---
+    p.add_argument("--data_dir", default="data/scannet")
+    p.add_argument("--point_cap", type=int, default=262144,
+                   help="static per-device point budget")
+    p.add_argument("--voxel_cap", type=int, default=262144,
+                   help="static level-0 voxel budget")
+    p.add_argument("--instance_cap", type=int, default=128,
+                   help="static per-device instance budget")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="0 = all local devices")
+    return p
+
+
+def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
+    """Mirror of `ArgsToConfig` (reference `config.py:76-130`)."""
+    config: Dict[str, Any] = {}
+    for k in ("m", "use_full_normal", "residual_blocks", "simple_train",
+              "block_reps", "batch_size", "scale", "val_reps", "dimension",
+              "full_scale", "kernel_size", "use_rotation_noise",
+              "checkpoint", "checkpoints_dir", "max_epoch", "snapshot",
+              "optim", "loss", "lr", "gamma", "step_size",
+              "rotation_guide_level", "evaluate", "backbone_network",
+              "use_normal", "use_elastic", "use_feature", "use_dense_model",
+              "regress_sigma", "regress_weight", "displacement_weight",
+              "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
+              "instance_cap", "num_devices", "load"):
+        config[k] = getattr(args, k)
+    m = args.m
+    config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]
+    config["class_num"] = 20
+    # input channels from feature string (config.py:116-126)
+    n = 0
+    f = config["use_feature"]
+    n += 3 * ("l" in f) + 3 * ("c" in f) + 3 * ("n" in f)
+    n += 9 * ("d" in f) + 1 * ("h" in f)
+    config["input_feature_number"] = n
+    return config
+
+
+def plan_caps(config: Dict[str, Any]) -> List[int]:
+    """Per-level voxel caps: halve per stride-2 level (generous vs the ~3.5x
+    real-data reduction), floor at 1024."""
+    caps = []
+    c = config["voxel_cap"]
+    for _ in range(len(config["unet_structure"])):
+        caps.append(max(int(c), 1024))
+        c //= 2
+    return caps
