@@ -29,14 +29,8 @@ def _acc_dtype(dtype) -> jnp.dtype:
     return jnp.float64 if dtype == jnp.float64 else jnp.float32
 
 
-def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
-                bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """out[r] = sum_k feats[nbr[r,k]] @ weight[k]  (+ bias).
-
-    The single primitive behind submanifold conv (nbr = same-level neighbor
-    map), strided conv (nbr = transition.child), and deconvolution
-    (nbr = transition.up). feats [N,Cin], nbr [M,K], weight [K,Cin,Cout].
-    """
+def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
+                          weight: jnp.ndarray) -> jnp.ndarray:
     out_dtype = feats.dtype
     acc_t = _acc_dtype(out_dtype)
     K = weight.shape[0]
@@ -49,9 +43,64 @@ def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
             preferred_element_type=acc_t,
         )
         acc = p if acc is None else acc + p
-    if bias is not None:
-        acc = acc + bias.astype(acc_t)
     return acc.astype(out_dtype)
+
+
+@jax.custom_vjp
+def _gather_conv_core(feats: jnp.ndarray, nbr: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    return _gather_conv_fwd_impl(feats, nbr, weight)
+
+
+def _gather_conv_core_fwd(feats, nbr, weight):
+    # Residuals: inputs only. Naive autodiff saves every gathered [M,Cin]
+    # block (K of them) as dot residuals — 27x activation memory, which OOMs
+    # a 6-level m=64 UNet at 260k voxels. We recompute the gathers in bwd.
+    return _gather_conv_fwd_impl(feats, nbr, weight), (feats, nbr, weight)
+
+
+def _gather_conv_core_bwd(res, ct):
+    feats, nbr, weight = res
+    acc_t = _acc_dtype(feats.dtype)
+    ct32 = ct.astype(acc_t)
+    K = weight.shape[0]
+    n = feats.shape[0]
+    d_w = []
+    d_feats = jnp.zeros((n, weight.shape[1]), acc_t)
+    for k in range(K):
+        idx = nbr[:, k]
+        g = _gather_rows(feats, idx)                       # recompute
+        d_w.append(jax.lax.dot_general(
+            g, ct32, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_t))                  # [Cin, Cout]
+        contrib = jax.lax.dot_general(
+            ct32, weight[k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_t)                   # [M, Cin]
+        safe = jnp.where(idx < 0, n, idx)                   # n = OOB -> drop
+        d_feats = d_feats.at[safe].add(contrib, mode="drop")
+    return (d_feats.astype(feats.dtype), None,
+            jnp.stack(d_w).astype(weight.dtype))
+
+
+_gather_conv_core.defvjp(_gather_conv_core_fwd, _gather_conv_core_bwd)
+
+
+def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
+                bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """out[r] = sum_k feats[nbr[r,k]] @ weight[k]  (+ bias).
+
+    The single primitive behind submanifold conv (nbr = same-level neighbor
+    map), strided conv (nbr = transition.child), and deconvolution
+    (nbr = transition.up). feats [N,Cin], nbr [M,K], weight [K,Cin,Cout].
+    Memory-lean custom VJP (gathers recomputed in backward, scatter-add for
+    d_feats — the hand-written backward of the reference,
+    `SCN/CUDA/Convolution.cu:265-446`).
+    """
+    out = _gather_conv_core(feats, nbr, weight)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def gather_conv_fused(feats: jnp.ndarray, nbr: jnp.ndarray,
