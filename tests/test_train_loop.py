@@ -1,0 +1,25 @@
+"""End-to-end CLI train loop smoke test on the synthetic dataset."""
+
+import numpy as np
+
+from occuseg_tpu.train.config import args_to_config, get_parser
+from occuseg_tpu.train.loop import evaluate_semantic, train
+
+
+def test_train_loop_synthetic(tmp_path):
+    args = get_parser().parse_args([
+        "--m", "8", "--batch_size", "2", "--scale", "50",
+        "--residual_blocks", "--use_dense_model", "--max_epoch", "1",
+        "--point_cap", "4096", "--voxel_cap", "4096",
+        "--instance_cap", "16", "--num_devices", "1",
+        "--checkpoints_dir", str(tmp_path),
+        "--data_dir", str(tmp_path / "nodata"),
+    ])
+    config = args_to_config(args)
+    # shrink the UNet for test speed
+    config["unet_structure"] = [8, 16, 24]
+    result = train(config, max_steps=2)
+    assert result["steps"] == 2
+    metrics = evaluate_semantic(config, result["state"], result["model"],
+                                result["spec"])
+    assert 0.0 <= metrics["mean_iou"] <= 1.0
