@@ -1,0 +1,208 @@
+"""sparseconvnet-compatible API surface.
+
+Lets code written against the reference's `import sparseconvnet as scn`
+builder calls port with minimal edits: same constructor signatures
+(dimension first, explicit nIn/nOut, filter/stride sizes, bias flag), the
+`Sequential().add(...)` chaining style, and the container tables
+(`sequential.py`, `tables.py`). Everything returns flax modules whose
+__call__ takes `(x, plan, train)`; `dimension` must be 3 and nIn is checked
+at trace time by the underlying module shapes.
+
+Example (reference `networkArchitectures.py:207-213` docstring):
+    import occuseg_tpu.legacy as scn
+    m = scn.Sequential().add(
+        scn.SubmanifoldConvolution(3, 3, 64, 3, False)).add(
+        scn.UNet(3, 2, [64, 128, 192, 256], residual_blocks=True))
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+
+from occuseg_tpu.core.sparse_tensor import (
+    SparseTensor,
+    add_features,
+    concat_features,
+)
+from occuseg_tpu.nn import modules as _m
+from occuseg_tpu.nn import unet as _u
+from occuseg_tpu.nn.extras import (
+    ELU,
+    Identity,
+    LeakyReLU,
+    ReLU,
+    SELU,
+    Sigmoid,
+    Tanh,
+    BatchwiseDropout,
+    Dropout,
+)
+
+
+def _check3(dimension: int) -> None:
+    assert dimension == 3, "occuseg_tpu supports dimension=3"
+
+
+def SubmanifoldConvolution(dimension, nIn, nOut, filter_size, bias=False,
+                           dilated_rate=1):
+    _check3(dimension)
+    return _m.SubmanifoldConvolution(out_features=nOut, kernel=filter_size,
+                                     use_bias=bias)
+
+
+def ValidConvolution(dimension, nIn, nOut, filter_size, bias=False):
+    return SubmanifoldConvolution(dimension, nIn, nOut, filter_size, bias)
+
+
+def Convolution(dimension, nIn, nOut, filter_size, filter_stride, bias=False):
+    _check3(dimension)
+    return _m.Convolution(out_features=nOut, size=filter_size,
+                          stride=filter_stride, use_bias=bias)
+
+
+def Deconvolution(dimension, nIn, nOut, filter_size, filter_stride,
+                  bias=False):
+    _check3(dimension)
+    return _m.Deconvolution(out_features=nOut, size=filter_size,
+                            stride=filter_stride, use_bias=bias)
+
+
+def FullConvolution(dimension, nIn, nOut, filter_size, filter_stride,
+                    bias=False):
+    # The reference's FullConvolution grows the active set into a fresh
+    # Metadata (`fullConvolution.py`); on the fixed-plan architecture the
+    # deconvolution target level plays that role.
+    return Deconvolution(dimension, nIn, nOut, filter_size, filter_stride,
+                         bias)
+
+
+TransposeConvolution = FullConvolution
+
+
+def NetworkInNetwork(nIn, nOut, bias=False):
+    return _m.NetworkInNetwork(out_features=nOut, use_bias=bias)
+
+
+def BatchNormalization(nPlanes, eps=1e-4, momentum=0.9, leakiness=1.0):
+    return _m.BatchNormalization(eps=eps, momentum=momentum,
+                                 leakiness=leakiness)
+
+
+def BatchNormReLU(nPlanes, eps=1e-4, momentum=0.9):
+    return _m.BatchNormalization(eps=eps, momentum=momentum, leakiness=0.0)
+
+
+def BatchNormLeakyReLU(nPlanes, eps=1e-4, momentum=0.9, leakiness=0.333):
+    return _m.BatchNormalization(eps=eps, momentum=momentum,
+                                 leakiness=leakiness)
+
+
+def MaxPooling(dimension, pool_size, pool_stride):
+    _check3(dimension)
+    return _m.MaxPooling(size=pool_size, stride=pool_stride)
+
+
+def AveragePooling(dimension, pool_size, pool_stride):
+    _check3(dimension)
+    return _m.AveragePooling(size=pool_size, stride=pool_stride)
+
+
+def UnPooling(dimension, pool_size, pool_stride):
+    _check3(dimension)
+    return _m.UnPooling(size=pool_size, stride=pool_stride)
+
+
+def InputLayer(dimension, spatial_size, mode=4, normal_guide_scale=None):
+    _check3(dimension)
+    return _m.InputLayer(mode={3: "sum", 4: "mean"}.get(mode, "mean"))
+
+
+def OutputLayer(dimension):
+    return _m.OutputLayer()
+
+
+def UNet(dimension, reps, nPlanes, residual_blocks=False, downsample=(2, 2),
+         leakiness=0):
+    _check3(dimension)
+    return _u.UNet(reps=reps, n_planes=tuple(nPlanes),
+                   residual_blocks=residual_blocks,
+                   down_size=downsample[0], down_stride=downsample[1],
+                   leakiness=leakiness)
+
+
+def FullyConvolutionalNet(dimension, reps, nPlanes, residual_blocks=False,
+                          downsample=(2, 2)):
+    _check3(dimension)
+    return _u.FullyConvolutionalNet(reps=reps, n_planes=tuple(nPlanes),
+                                    residual_blocks=residual_blocks,
+                                    down_size=downsample[0],
+                                    down_stride=downsample[1])
+
+
+def SparseVggNet(dimension, nInputPlanes, layers):
+    _check3(dimension)
+    return _u.SparseVggNet(layers=tuple(
+        tuple(l) if isinstance(l, (list, tuple)) else l for l in layers))
+
+
+def SparseResNet(dimension, nInputPlanes, layers):
+    _check3(dimension)
+    return _u.SparseResNet(layers=tuple(tuple(l) for l in layers))
+
+
+class Sequential(nn.Module):
+    """`scn.Sequential().add(m1).add(m2)` chaining (reference
+    `sequential.py`). Must be fully built before first use (flax modules
+    are frozen after setup), so call .add() only at construction time."""
+
+    layers: tuple = ()
+
+    @nn.nowrap
+    def add(self, module) -> "Sequential":
+        return Sequential(layers=self.layers + (module,))
+
+    @nn.compact
+    def __call__(self, x, plan, train: bool = False):
+        # flax adopts module instances held in attributes when called here
+        for layer in self.layers:
+            x = layer(x, plan, train)
+        return x
+
+
+class ConcatTable(nn.Module):
+    """Apply each branch to the same input, return list (reference
+    `tables.py:13-27`)."""
+
+    branches: tuple = ()
+
+    @nn.nowrap
+    def add(self, module) -> "ConcatTable":
+        return ConcatTable(branches=self.branches + (module,))
+
+    @nn.compact
+    def __call__(self, x, plan, train: bool = False):
+        return [b(x, plan, train) for b in self.branches]
+
+
+class JoinTable(nn.Module):
+    """Channel-concat a list (reference `tables.py:28-43`)."""
+
+    @nn.compact
+    def __call__(self, xs, plan=None, train: bool = False):
+        out = xs[0]
+        for other in xs[1:]:
+            out = concat_features(out, other)
+        return out
+
+
+class AddTable(nn.Module):
+    """Elementwise-add a list (reference `tables.py:45-55`)."""
+
+    @nn.compact
+    def __call__(self, xs, plan=None, train: bool = False):
+        out = xs[0]
+        for other in xs[1:]:
+            out = add_features(out, other)
+        return out
