@@ -52,6 +52,7 @@ def main() -> None:
         @nn.compact
         def __call__(self, feats, plan, train=False):
             f = _Backbone(N_PLANES, block_reps=1, residual_blocks=True,
+                          compute_dtype=jnp.bfloat16,  # TPU mixed precision
                           name="backbone")(feats, plan, train)
             return nn.Dense(20, name="linear")(f)
 

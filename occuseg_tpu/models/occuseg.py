@@ -43,15 +43,22 @@ class OccuSegOutputs(NamedTuple):
 
 
 class _Backbone(nn.Module):
-    """InputLayer -> SubConv(in, m) -> UNet -> BN-ReLU -> OutputLayer."""
+    """InputLayer -> SubConv(in, m) -> UNet -> BN-ReLU -> OutputLayer.
+
+    compute_dtype=bfloat16 runs all conv activations in bf16 (params stay
+    f32; BN statistics and matmul accumulation are f32 regardless) — the
+    TPU-native mixed-precision recipe. Head features are returned in f32.
+    """
 
     n_planes: Tuple[int, ...]
     block_reps: int = 1
     residual_blocks: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
                  train: bool = False) -> jnp.ndarray:
+        point_features = point_features.astype(self.compute_dtype)
         x = InputLayer(mode="mean", name="input")(point_features, plan, train)
         x = SubmanifoldConvolution(self.n_planes[0], name="sub")(
             x, plan, train)
@@ -59,7 +66,8 @@ class _Backbone(nn.Module):
                  residual_blocks=self.residual_blocks, name="unet")(
             x, plan, train)
         x = BatchNormReLU(name="bn")(x, plan, train)
-        return OutputLayer(name="output")(x, plan, train)
+        out = OutputLayer(name="output")(x, plan, train)
+        return out.astype(jnp.float32)
 
 
 class ThreeVoxelKernel(nn.Module):
@@ -69,14 +77,15 @@ class ThreeVoxelKernel(nn.Module):
     num_classes: int = 20
     block_reps: int = 1
     residual_blocks: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
                  train: bool = False) -> OccuSegOutputs:
         m = self.n_planes[0]
         feature = _Backbone(tuple(self.n_planes), self.block_reps,
-                            self.residual_blocks, name="backbone")(
-            point_features, plan, train)
+                            self.residual_blocks, self.compute_dtype,
+                            name="backbone")(point_features, plan, train)
         y = nn.Dense(self.num_classes, name="linear")(feature)
         embedding = nn.Dense(m, name="linear_embedding")(
             nn.Dense(m, name="fc_embedding")(feature))
@@ -96,14 +105,15 @@ class InstanceDenseUNet(nn.Module):
     num_classes: int = 20
     block_reps: int = 1
     residual_blocks: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
                  train: bool = False) -> OccuSegOutputs:
         m = self.n_planes[0]
         feature = _Backbone(tuple(self.n_planes), self.block_reps,
-                            self.residual_blocks, name="backbone")(
-            point_features, plan, train)
+                            self.residual_blocks, self.compute_dtype,
+                            name="backbone")(point_features, plan, train)
         y = nn.Dense(self.num_classes, name="linear")(feature)
         embedding = nn.Dense(m, name="linear_embedding")(
             nn.Dense(m, name="fc_embedding")(feature))
@@ -123,6 +133,7 @@ class LearningBWDenseUNet(nn.Module):
     num_classes: int = 20
     block_reps: int = 1
     residual_blocks: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
@@ -130,7 +141,8 @@ class LearningBWDenseUNet(nn.Module):
         m = self.n_planes[0]
         base = InstanceDenseUNet(
             tuple(self.n_planes), self.num_classes, self.block_reps,
-            self.residual_blocks, name="backbone")(point_features, plan, train)
+            self.residual_blocks, self.compute_dtype, name="backbone")(
+            point_features, plan, train)
         bw = nn.softplus(nn.Dense(2, name="linear_bw")(
             nn.Dense(m, name="fc_bw")(base.features)))
         occupancy = nn.softplus(nn.Dense(1, name="linear_occupancy")(

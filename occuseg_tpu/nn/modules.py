@@ -83,7 +83,8 @@ class Convolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        out = conv_ops.gather_conv(x.features, tr.child, w, b)
+        out = conv_ops.gather_conv(x.features, tr.child, w, b,
+                                   nbr_t=tr.up[:, ::-1])
         lvl = plan.levels[x.level + 1]
         return SparseTensor(features=out, num_active=lvl.num_active,
                             level=x.level + 1)
@@ -111,7 +112,8 @@ class Deconvolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        out = conv_ops.gather_conv(x.features, tr.up, w, b)
+        out = conv_ops.gather_conv(x.features, tr.up, w, b,
+                                   nbr_t=tr.child[:, ::-1])
         lvl = plan.levels[x.level - 1]
         return SparseTensor(features=out, num_active=lvl.num_active,
                             level=x.level - 1)

@@ -33,6 +33,7 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
                           weight: jnp.ndarray) -> jnp.ndarray:
     out_dtype = feats.dtype
     acc_t = _acc_dtype(out_dtype)
+    weight = weight.astype(out_dtype)  # bf16 feats -> bf16 MXU operands
     K = weight.shape[0]
     acc = None
     for k in range(K):
@@ -48,56 +49,78 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
 
 @jax.custom_vjp
 def _gather_conv_core(feats: jnp.ndarray, nbr: jnp.ndarray,
-                      weight: jnp.ndarray) -> jnp.ndarray:
+                      nbr_t: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     return _gather_conv_fwd_impl(feats, nbr, weight)
 
 
-def _gather_conv_core_fwd(feats, nbr, weight):
+def _gather_conv_core_fwd(feats, nbr, nbr_t, weight):
     # Residuals: inputs only. Naive autodiff saves every gathered [M,Cin]
     # block (K of them) as dot residuals — 27x activation memory, which OOMs
     # a 6-level m=64 UNet at 260k voxels. We recompute the gathers in bwd.
-    return _gather_conv_fwd_impl(feats, nbr, weight), (feats, nbr, weight)
+    return _gather_conv_fwd_impl(feats, nbr, weight), (feats, nbr, nbr_t,
+                                                       weight)
 
 
 def _gather_conv_core_bwd(res, ct):
-    feats, nbr, weight = res
+    """Scatter-free backward.
+
+    Every rulebook map in the plan has an exact transpose (submanifold:
+    offset k transposes to K-1-k on the same map; strided conv: child <->
+    up), so d_feats is ANOTHER gather-matmul:
+        d_feats[i] = sum_k ct[nbr_t[i,k]] @ W[K-1-k]^T
+    (for (r,k) with nbr[r,k]==i we have nbr_t[i,K-1-k]==r). No TPU scatter
+    anywhere in fwd+bwd — the problem that costs the reference an atomicAdd
+    (`Convolution.cu:1148`) disappears entirely.
+    """
+    feats, nbr, nbr_t, weight = res
     acc_t = _acc_dtype(feats.dtype)
-    ct32 = ct.astype(acc_t)
+    w_dtype = weight.dtype
+    weight = weight.astype(feats.dtype)
+    ctc = ct.astype(feats.dtype)
     K = weight.shape[0]
-    n = feats.shape[0]
     d_w = []
-    d_feats = jnp.zeros((n, weight.shape[1]), acc_t)
+    d_feats = None
     for k in range(K):
-        idx = nbr[:, k]
-        g = _gather_rows(feats, idx)                       # recompute
+        g = _gather_rows(feats, nbr[:, k])                 # recompute
         d_w.append(jax.lax.dot_general(
-            g, ct32, dimension_numbers=(((0,), (0,)), ((), ())),
+            g, ctc, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc_t))                  # [Cin, Cout]
+        gct = _gather_rows(ctc, nbr_t[:, k])                # [N, Cout]
         contrib = jax.lax.dot_general(
-            ct32, weight[k],
+            gct, weight[K - 1 - k],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc_t)                   # [M, Cin]
-        safe = jnp.where(idx < 0, n, idx)                   # n = OOB -> drop
-        d_feats = d_feats.at[safe].add(contrib, mode="drop")
-    return (d_feats.astype(feats.dtype), None,
-            jnp.stack(d_w).astype(weight.dtype))
+            preferred_element_type=acc_t)                   # [N, Cin]
+        d_feats = contrib if d_feats is None else d_feats + contrib
+    return (d_feats.astype(feats.dtype), None, None,
+            jnp.stack(d_w).astype(w_dtype))
 
 
 _gather_conv_core.defvjp(_gather_conv_core_fwd, _gather_conv_core_bwd)
 
 
 def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
-                bias: jnp.ndarray | None = None) -> jnp.ndarray:
+                bias: jnp.ndarray | None = None,
+                nbr_t: jnp.ndarray | None = None) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k]  (+ bias).
 
     The single primitive behind submanifold conv (nbr = same-level neighbor
     map), strided conv (nbr = transition.child), and deconvolution
     (nbr = transition.up). feats [N,Cin], nbr [M,K], weight [K,Cin,Cout].
-    Memory-lean custom VJP (gathers recomputed in backward, scatter-add for
-    d_feats — the hand-written backward of the reference,
-    `SCN/CUDA/Convolution.cu:265-446`).
+
+    nbr_t is the transpose map used by the scatter-free backward, which
+    computes d_feats[i] = sum_k ct[nbr_t[i,k]] @ W[K-1-k]^T. The required
+    pairing nbr_t[i,k] = (row r with nbr[r, K-1-k] == i) holds when:
+      * submanifold conv: nbr_t = nbr itself (r(i,k) = nbr[i, rev(k)]
+        because offset rev(k) = -offset(k) under z-major enumeration);
+      * strided conv (nbr=child): nbr_t = up[:, ::-1] (child[j,k]==i <=>
+        up[i,k]==j, so the column reversal cancels the W reversal);
+      * deconv (nbr=up): nbr_t = child[:, ::-1].
     """
-    out = _gather_conv_core(feats, nbr, weight)
+    if nbr_t is None:
+        assert nbr.shape[0] == feats.shape[0], (
+            "non-submanifold gather_conv needs an explicit transpose map")
+        nbr_t = nbr
+    out = _gather_conv_core(feats, nbr, nbr_t, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -131,7 +154,8 @@ def nin(feats: jnp.ndarray, weight: jnp.ndarray,
     `SCN/CUDA/NetworkInNetwork.cu`, `networkInNetwork.py`)."""
     acc_t = _acc_dtype(feats.dtype)
     out = jax.lax.dot_general(
-        feats, weight, dimension_numbers=(((1,), (0,)), ((), ())),
+        feats, weight.astype(feats.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_t,
     )
     if bias is not None:

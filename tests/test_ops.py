@@ -210,3 +210,57 @@ def test_conv_flops_counter():
     fl = int(conv_ops.conv_flops(lvl.nbr, 4, 8))
     pairs = int(np.sum(np.asarray(lvl.nbr) >= 0))
     assert fl == pairs * 32
+
+
+def test_strided_conv_and_deconv_gradients_numeric():
+    """Scatter-free backward via transpose maps must match finite
+    differences for both transition directions."""
+    cin, cout = 3, 4
+    rng, fine, feats, n = _scene(19, cin)
+    ckeys = T.downsample_keys(fine, 2, 2, 256)
+    coarse = T.build_level(ckeys, kernel=3)
+    tr = T.build_transition(fine, coarse, 2, 2)
+    m = int(coarse.num_active)
+    w = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float64))
+    f64 = jnp.asarray(feats.astype(np.float64))
+
+    def loss_down(f):
+        out = conv_ops.gather_conv(f, tr.child, w, nbr_t=tr.up[:, ::-1])
+        return jnp.sum(jnp.sin(out))
+
+    g = jax.grad(loss_down)(f64)
+    eps = 1e-6
+    for (r, c) in [(0, 0), (7, 2), (n - 1, 1)]:
+        num = (loss_down(f64.at[r, c].add(eps))
+               - loss_down(f64.at[r, c].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[r, c]), float(num), rtol=1e-5,
+                                   atol=1e-8)
+
+    cf = np.zeros((256, cin), np.float64)
+    cf[:m] = rng.standard_normal((m, cin))
+    cf = jnp.asarray(cf)
+    w2 = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float64))
+
+    def loss_up(f):
+        out = conv_ops.gather_conv(f, tr.up, w2, nbr_t=tr.child[:, ::-1])
+        return jnp.sum(jnp.sin(out))
+
+    g2 = jax.grad(loss_up)(cf)
+    for (r, c) in [(0, 0), (m - 1, 2)]:
+        num = (loss_up(cf.at[r, c].add(eps))
+               - loss_up(cf.at[r, c].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g2[r, c]), float(num), rtol=1e-5,
+                                   atol=1e-8)
+
+    # weight gradients too
+    gw = jax.grad(lambda ww: jnp.sum(
+        jnp.sin(conv_ops.gather_conv(f64, tr.child, ww,
+                                     nbr_t=tr.up[:, ::-1]))))(w)
+    for idx in [(0, 0, 0), (3, 1, 2), (7, 2, 3)]:
+        num = (jnp.sum(jnp.sin(conv_ops.gather_conv(
+                   f64, tr.child, w.at[idx].add(eps), nbr_t=tr.up[:, ::-1])))
+               - jnp.sum(jnp.sin(conv_ops.gather_conv(
+                   f64, tr.child, w.at[idx].add(-eps),
+                   nbr_t=tr.up[:, ::-1])))) / (2 * eps)
+        np.testing.assert_allclose(float(gw[idx]), float(num), rtol=1e-5,
+                                   atol=1e-8)
