@@ -60,6 +60,10 @@ class LevelTopology:
     coords: jnp.ndarray      # int32 [N_cap, 4] (b,z,y,x), -1 padding
     num_active: jnp.ndarray  # int32 scalar
     nbr: jnp.ndarray         # int32 [N_cap, K^3] neighbor rows, -1 missing
+    orient: jnp.ndarray = None  # int32 [N_cap] normal orientation class
+                                # {0,2,4} for normal-guided filters
+                                # (reference Metadata.h:220-223 per-scale
+                                # normals); zeros = identity
 
     @property
     def cap(self) -> int:
@@ -96,8 +100,8 @@ class Topology:
         ).any()
 
 
-def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1
-                ) -> LevelTopology:
+def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1,
+                orient: jnp.ndarray = None) -> LevelTopology:
     """LevelTopology from sorted unique padded keys."""
     coords = C.unpack(keys)
     num_active = jnp.sum((keys < C.KEY_PAD).astype(jnp.int32))
@@ -106,8 +110,10 @@ def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1
         q = C.neighbor_keys(coords, jnp.asarray(off))
         nbrs.append(C.lookup(keys, q))
     nbr = jnp.stack(nbrs, axis=1)
+    if orient is None:
+        orient = jnp.zeros((keys.shape[0],), jnp.int32)
     return LevelTopology(keys=keys, coords=coords, num_active=num_active,
-                         nbr=nbr)
+                         nbr=nbr, orient=orient)
 
 
 def voxelize_coords(point_coords: jnp.ndarray, cap: int):
@@ -204,15 +210,52 @@ class PlanSpec:
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def build_plan(point_coords: jnp.ndarray, spec: PlanSpec) -> Topology:
-    """Plan the full topology from padded input point coords [P,4]."""
+def build_plan(point_coords: jnp.ndarray, spec: PlanSpec,
+               point_normals: jnp.ndarray = None) -> Topology:
+    """Plan the full topology from padded input point coords [P,4].
+
+    point_normals [P,3] (optional) enables normal-guided filters: voxel
+    normals = mean of point normals, carried down-scale by child averaging
+    (the reference threads per-scale normals through Metadata,
+    `ConvolutionRules.h:18-128` normal-carrying variants).
+    """
+    from occuseg_tpu.ops.normal_guide import oriented_filter
+
     keys0, p2v = voxelize_coords(point_coords, spec.caps[0])
     num_points = jnp.sum((C.pack(point_coords) < C.KEY_PAD).astype(jnp.int32))
-    levels = [build_level(keys0, spec.kernel, spec.dilation)]
+
+    normals = None
+    orient0 = None
+    if point_normals is not None:
+        seg = jnp.where(p2v >= 0, p2v, spec.caps[0]).astype(jnp.int32)
+        nsum = jax.ops.segment_sum(point_normals.astype(jnp.float32), seg,
+                                   num_segments=spec.caps[0] + 1)[:spec.caps[0]]
+        normals = nsum / jnp.maximum(
+            jnp.linalg.norm(nsum, axis=1, keepdims=True), 1e-8)
+        orient0 = oriented_filter(normals)
+
+    levels = [build_level(keys0, spec.kernel, spec.dilation, orient0)]
     transitions = []
     for l in range(1, spec.num_levels):
         keys_l = downsample_keys(levels[-1], spec.down_size, spec.down_stride,
                                  spec.caps[l])
+        orient_l = None
+        if normals is not None:
+            lvl_tmp = build_level(keys_l, spec.kernel, spec.dilation)
+            tr_tmp = build_transition(levels[-1], lvl_tmp, spec.down_size,
+                                      spec.down_stride)
+            safe = jnp.where(tr_tmp.child >= 0, tr_tmp.child, 0)
+            gathered = normals[safe] * (tr_tmp.child >= 0)[..., None]
+            nsum = jnp.sum(gathered, axis=1)
+            normals = nsum / jnp.maximum(
+                jnp.linalg.norm(nsum, axis=1, keepdims=True), 1e-8)
+            orient_l = oriented_filter(normals)
+            lvl = LevelTopology(keys=lvl_tmp.keys, coords=lvl_tmp.coords,
+                                num_active=lvl_tmp.num_active,
+                                nbr=lvl_tmp.nbr, orient=orient_l)
+            transitions.append(tr_tmp)
+            levels.append(lvl)
+            continue
         lvl = build_level(keys_l, spec.kernel, spec.dilation)
         transitions.append(
             build_transition(levels[-1], lvl, spec.down_size, spec.down_stride)

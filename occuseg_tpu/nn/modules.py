@@ -38,17 +38,24 @@ def _he_conv_init(volume: int):
 
 
 class SubmanifoldConvolution(nn.Module):
-    """Same-topology K^3 convolution (reference `submanifoldConvolution.py`)."""
+    """Same-topology K^3 convolution (reference `submanifoldConvolution.py`).
+
+    normal_guided=True applies the reference's rotation-invariant filter
+    remap (`remap_rules_with_normal`) using the plan's per-site orientation
+    classes; requires the plan to have been built with point normals.
+    """
 
     out_features: int
     kernel: int = 3
     use_bias: bool = False
+    normal_guided: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: SparseTensor, plan: Topology,
                  train: bool = False) -> SparseTensor:
-        nbr = plan.levels[x.level].nbr
+        lvl = plan.levels[x.level]
+        nbr = lvl.nbr
         K = nbr.shape[1]
         assert K == self.kernel ** 3, (
             f"plan built with kernel {int(round(K ** (1/3)))}, "
@@ -58,7 +65,11 @@ class SubmanifoldConvolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        out = conv_ops.gather_conv(x.features, nbr, w, b)
+        if self.normal_guided:
+            from occuseg_tpu.ops.normal_guide import normal_guided_conv
+            out = normal_guided_conv(x.features, nbr, lvl.orient, w, b)
+        else:
+            out = conv_ops.gather_conv(x.features, nbr, w, b)
         return dataclasses.replace(x, features=out)
 
 

@@ -1,0 +1,90 @@
+"""Normal-guided rotation-invariant filters."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from occuseg_tpu.core import topology as T
+from occuseg_tpu.ops import conv as conv_ops
+from occuseg_tpu.ops.normal_guide import (
+    ORIENT_PERM,
+    normal_guided_conv,
+    oriented_filter,
+    permute_neighbor_map,
+)
+
+from tests.utils import random_points
+
+
+def _scene(seed, cin=3, cap=256):
+    rng = np.random.default_rng(seed)
+    pts = random_points(rng, 200, extent=8, batch_size=2, pad_to=cap)
+    keys, _ = T.voxelize_coords(jnp.asarray(pts), cap)
+    lvl = T.build_level(keys, kernel=3)
+    n = int(lvl.num_active)
+    feats = np.zeros((cap, cin), np.float32)
+    feats[:n] = rng.standard_normal((n, cin), dtype=np.float32)
+    return rng, lvl, feats, n
+
+
+def test_oriented_filter_classes():
+    normals = jnp.asarray(np.array([
+        [1, 0, 0], [-2, 1, 0], [0, 3, 1], [0, -1, 0.5], [0.1, 0.2, -5],
+    ], np.float32))
+    np.testing.assert_array_equal(np.asarray(oriented_filter(normals)),
+                                  [0, 0, 2, 2, 4])
+
+
+def test_orientation_zero_is_identity():
+    rng, lvl, feats, n = _scene(0)
+    w = jnp.asarray(rng.standard_normal((27, 3, 5)).astype(np.float32))
+    orient = jnp.zeros((256,), jnp.int32)
+    a = normal_guided_conv(jnp.asarray(feats), lvl.nbr, orient, w)
+    b = conv_ops.gather_conv(jnp.asarray(feats), lvl.nbr, w)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_constant_orientation_equals_weight_permutation():
+    """Applying orientation o everywhere == permuting the weight axis by the
+    reference's table row o."""
+    rng, lvl, feats, n = _scene(1)
+    w = jnp.asarray(rng.standard_normal((27, 3, 5)).astype(np.float32))
+    for o in (2, 4):
+        orient = jnp.full((256,), o, jnp.int32)
+        a = normal_guided_conv(jnp.asarray(feats), lvl.nbr, orient, w)
+        # out = sum_k feats[nbr[k]] @ W[perm[o,k]]
+        w_perm = w[jnp.asarray(ORIENT_PERM[o])]
+        b = conv_ops.gather_conv(jnp.asarray(feats), lvl.nbr, w_perm)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_normal_guided_gradients():
+    rng, lvl, feats, n = _scene(2)
+    w = jnp.asarray(rng.standard_normal((27, 3, 4)).astype(np.float64))
+    orient = jnp.asarray((np.arange(256) % 3 * 2).astype(np.int32))
+    f = jnp.asarray(feats.astype(np.float64))
+
+    def loss(f, w):
+        return jnp.sum(jnp.sin(normal_guided_conv(f, lvl.nbr, orient, w)))
+
+    gf, gw = jax.grad(loss, argnums=(0, 1))(f, w)
+    eps = 1e-6
+    for (r, c) in [(0, 0), (5, 2)]:
+        num = (loss(f.at[r, c].add(eps), w)
+               - loss(f.at[r, c].add(-eps), w)) / (2 * eps)
+        np.testing.assert_allclose(float(gf[r, c]), float(num), rtol=1e-5,
+                                   atol=1e-8)
+
+
+def test_plan_with_normals():
+    rng = np.random.default_rng(3)
+    pts = random_points(rng, 300, extent=16, batch_size=2, pad_to=512)
+    normals = rng.standard_normal((512, 3)).astype(np.float32)
+    spec = T.PlanSpec(caps=(512, 256))
+    plan = T.build_plan(jnp.asarray(pts), spec, jnp.asarray(normals))
+    for lvl in plan.levels:
+        o = np.asarray(lvl.orient)
+        assert set(np.unique(o)).issubset({0, 2, 4})
