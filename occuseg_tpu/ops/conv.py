@@ -35,15 +35,21 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
     acc_t = _acc_dtype(out_dtype)
     weight = weight.astype(out_dtype)  # bf16 feats -> bf16 MXU operands
     K = weight.shape[0]
-    acc = None
-    for k in range(K):
-        g = _gather_rows(feats, nbr[:, k])
-        p = jax.lax.dot_general(
-            g, weight[k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc_t,
-        )
-        acc = p if acc is None else acc + p
+
+    # fori_loop (not an unrolled Python loop): the K gathers are mutually
+    # independent, and XLA's scheduler hoists unrolled ones ahead of the
+    # dots, keeping K big [M,Cin] temps alive at once (observed 19GB on the
+    # m=64 UNet). The loop pins memory to one gather + the accumulator.
+    def body(k, acc):
+        idx = jax.lax.dynamic_index_in_dim(nbr, k, axis=1, keepdims=False)
+        g = _gather_rows(feats, idx)
+        w_k = jax.lax.dynamic_index_in_dim(weight, k, axis=0, keepdims=False)
+        return acc + jax.lax.dot_general(
+            g, w_k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t)
+
+    acc = jnp.zeros((nbr.shape[0], weight.shape[2]), acc_t)
+    acc = jax.lax.fori_loop(0, K, body, acc)
     return acc.astype(out_dtype)
 
 
@@ -77,22 +83,30 @@ def _gather_conv_core_bwd(res, ct):
     w_dtype = weight.dtype
     weight = weight.astype(feats.dtype)
     ctc = ct.astype(feats.dtype)
-    K = weight.shape[0]
-    d_w = []
-    d_feats = None
-    for k in range(K):
-        g = _gather_rows(feats, nbr[:, k])                 # recompute
-        d_w.append(jax.lax.dot_general(
+    K, Cin, Cout = weight.shape
+
+    def body(k, carry):
+        d_feats, d_w = carry
+        idx = jax.lax.dynamic_index_in_dim(nbr, k, axis=1, keepdims=False)
+        g = _gather_rows(feats, idx)                        # recompute
+        dwk = jax.lax.dot_general(
             g, ctc, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_t))                  # [Cin, Cout]
-        gct = _gather_rows(ctc, nbr_t[:, k])                # [N, Cout]
+            preferred_element_type=acc_t)                   # [Cin, Cout]
+        d_w = jax.lax.dynamic_update_index_in_dim(d_w, dwk, k, axis=0)
+        idx_t = jax.lax.dynamic_index_in_dim(nbr_t, k, axis=1,
+                                             keepdims=False)
+        gct = _gather_rows(ctc, idx_t)                      # [N, Cout]
+        w_rev = jax.lax.dynamic_index_in_dim(weight, K - 1 - k, axis=0,
+                                             keepdims=False)
         contrib = jax.lax.dot_general(
-            gct, weight[K - 1 - k],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            gct, w_rev, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_t)                   # [N, Cin]
-        d_feats = contrib if d_feats is None else d_feats + contrib
-    return (d_feats.astype(feats.dtype), None, None,
-            jnp.stack(d_w).astype(w_dtype))
+        return d_feats + contrib, d_w
+
+    d_feats = jnp.zeros((feats.shape[0], Cin), acc_t)
+    d_w = jnp.zeros((K, Cin, Cout), acc_t)
+    d_feats, d_w = jax.lax.fori_loop(0, K, body, (d_feats, d_w))
+    return (d_feats.astype(feats.dtype), None, None, d_w.astype(w_dtype))
 
 
 _gather_conv_core.defvjp(_gather_conv_core_fwd, _gather_conv_core_bwd)

@@ -1,0 +1,63 @@
+"""Randomized-stride transition: coverage + transpose invariants."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from occuseg_tpu.core import topology as T
+from occuseg_tpu.core.randomized import (
+    build_randomized_transition,
+    randomized_ticks,
+)
+from occuseg_tpu.ops import conv as conv_ops
+from occuseg_tpu.ops import pool as pool_ops
+
+from tests.utils import random_points
+
+EXTENT = 16
+CAP = 512
+
+
+def test_ticks_tile_the_axis():
+    rng = np.random.default_rng(0)
+    for size, stride in [(2, 2), (3, 2)]:
+        t = randomized_ticks(rng, EXTENT, size, stride)
+        assert t[0] == 0
+        steps = np.diff(t)
+        assert set(steps.tolist()).issubset({stride - 1, stride, stride + 1})
+
+
+def test_randomized_transition_covers_every_input():
+    rng = np.random.default_rng(1)
+    pts = random_points(rng, 300, extent=EXTENT, batch_size=2, pad_to=CAP)
+    keys, _ = T.voxelize_coords(jnp.asarray(pts), CAP)
+    fine = T.build_level(keys, kernel=3)
+    n = int(fine.num_active)
+    # size=3/stride=2 is the reference's canonical fractional-pooling config
+    # (size must exceed the max jittered step stride+1 - 1 for coverage)
+    coarse, tr = build_randomized_transition(fine, rng, size=3, stride=2,
+                                             cap=CAP, extent=EXTENT)
+    child = np.asarray(tr.child)
+    m = int(coarse.num_active)
+    # every active fine site appears in at least one window (coverage
+    # invariant — the reference aborts when chunks miss a site)
+    covered = set(child[child >= 0].tolist())
+    assert covered == set(range(n))
+    # child/up are mutually consistent: child[j,k]==i -> up[i,k]==j
+    up = np.asarray(tr.up)
+    K = child.shape[1]
+    for j in range(m):
+        for k in range(K):
+            i = child[j, k]
+            if i >= 0:
+                assert up[i, k] == j, (i, j, k)
+    # pooling through the maps works
+    feats = np.zeros((CAP, 4), np.float32)
+    feats[:n] = rng.standard_normal((n, 4), dtype=np.float32)
+    out = pool_ops.max_pool(jnp.asarray(feats), tr.child)
+    assert np.isfinite(np.asarray(out)).all()
+    # gradient flows through the randomized conv with the transpose map
+    w = jnp.asarray(rng.standard_normal((27, 4, 4)).astype(np.float32))
+    y = conv_ops.gather_conv(jnp.asarray(feats), tr.child, w,
+                             nbr_t=tr.up[:, ::-1])
+    assert np.isfinite(np.asarray(y)).all()
