@@ -65,10 +65,10 @@ def build_randomized_transition(fine: LevelTopology,
     """(coarse level, transition) with jittered windows.
 
     extent: spatial bound of the fine level's coordinates (table size).
-    Candidate outputs per input are bounded by 2 per axis (requires
-    size < 2*stride, true for every reference usage).
+    With steps as small as stride-1, up to `size` windows can cover one
+    coordinate per axis; candidates are enumerated accordingly.
     """
-    assert size < 2 * stride, "randomized stride supports size < 2*stride"
+
     ticks = [randomized_ticks(rng, extent, size, stride) for _ in range(3)]
     tabs = [_axis_tables(t, size, extent) for t in ticks]
     o_min = jnp.asarray(np.stack([t[0] for t in tabs]))   # [3, extent]
@@ -79,17 +79,18 @@ def build_randomized_transition(fine: LevelTopology,
     valid = fc[:, 0] >= 0
     safe = jnp.clip(fc[:, 1:], 0, extent - 1)
 
-    # candidate output coords: (min..max) per axis, <=2 candidates each
+    # candidate output coords: with steps as small as stride-1, up to `size`
+    # windows can cover one coordinate per axis — enumerate o_min..o_max
+    ncand = size
+    def axis_cand(a, t):
+        o = o_min[a][safe[:, a]] + t
+        return jnp.where(o <= o_max[a][safe[:, a]], o, -1)
+
     cand_keys = []
-    for tz in range(2):
-        for ty in range(2):
-            for tx in range(2):
-                oz = jnp.where(tz == 0, o_min[0][safe[:, 0]],
-                               o_max[0][safe[:, 0]])
-                oy = jnp.where(ty == 0, o_min[1][safe[:, 1]],
-                               o_max[1][safe[:, 1]])
-                ox = jnp.where(tx == 0, o_min[2][safe[:, 2]],
-                               o_max[2][safe[:, 2]])
+    for tz in range(ncand):
+        for ty in range(ncand):
+            for tx in range(ncand):
+                oz, oy, ox = axis_cand(0, tz), axis_cand(1, ty), axis_cand(2, tx)
                 ok = valid & (oz >= 0) & (oy >= 0) & (ox >= 0)
                 cc = jnp.stack([fc[:, 0], oz, oy, ox], axis=1)
                 cc = jnp.where(ok[:, None], cc, -1)
@@ -120,15 +121,11 @@ def build_randomized_transition(fine: LevelTopology,
     up = jnp.full((fine.cap, K), -1, jnp.int32)
     for ki, off in enumerate(offs):
         best = jnp.full((fine.cap,), -1, jnp.int32)
-        for tz in range(2):
-            for ty in range(2):
-                for tx in range(2):
-                    oz = jnp.where(tz == 0, o_min[0][safe[:, 0]],
-                                   o_max[0][safe[:, 0]])
-                    oy = jnp.where(ty == 0, o_min[1][safe[:, 1]],
-                                   o_max[1][safe[:, 1]])
-                    ox = jnp.where(tx == 0, o_min[2][safe[:, 2]],
-                                   o_max[2][safe[:, 2]])
+        for tz in range(ncand):
+            for ty in range(ncand):
+                for tx in range(ncand):
+                    oz, oy, ox = (axis_cand(0, tz), axis_cand(1, ty),
+                                  axis_cand(2, tx))
                     ok = valid & (oz >= 0) & (oy >= 0) & (ox >= 0)
                     q = jnp.stack([fc[:, 0], oz, oy, ox], axis=1)
                     q = jnp.where(ok[:, None], q, -1)

@@ -35,8 +35,10 @@ def test_randomized_transition_covers_every_input():
     n = int(fine.num_active)
     # size=3/stride=2 is the reference's canonical fractional-pooling config
     # (size must exceed the max jittered step stride+1 - 1 for coverage)
+    # jittered overlapping windows can produce up to (extent/stride+1)^3
+    # coarse sites per sample; cap must cover both batch samples
     coarse, tr = build_randomized_transition(fine, rng, size=3, stride=2,
-                                             cap=CAP, extent=EXTENT)
+                                             cap=2 * CAP, extent=EXTENT)
     child = np.asarray(tr.child)
     m = int(coarse.num_active)
     # every active fine site appears in at least one window (coverage
