@@ -33,6 +33,14 @@ _AXIS_MASK = AXIS_SIZE - 1
 KEY_PAD = jnp.int64(1) << jnp.int64(62)
 
 
+def full_varying_like(ref: jnp.ndarray, shape, fill, dtype) -> jnp.ndarray:
+    """jnp.full whose value depends (trivially) on `ref`, so that under
+    shard_map the result carries the same varying-axes type as `ref` —
+    required for fori_loop carries initialized inside sharded code."""
+    z = (ref.reshape(-1)[0] * 0).astype(dtype)
+    return jnp.full(shape, fill, dtype) + z
+
+
 def pack(coords: jnp.ndarray) -> jnp.ndarray:
     """Pack int32 coords [N,4] (b,z,y,x) into sortable int64 keys [N].
 

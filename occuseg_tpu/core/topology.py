@@ -102,14 +102,22 @@ class Topology:
 
 def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1,
                 orient: jnp.ndarray = None) -> LevelTopology:
-    """LevelTopology from sorted unique padded keys."""
+    """LevelTopology from sorted unique padded keys.
+
+    All K^3 neighbor lookups are batched into ONE searchsorted call — many
+    small sequential binary searches dominated plan time (~9s for the m=64
+    plan) because each ran ~18 dependent mini-kernels."""
     coords = C.unpack(keys)
     num_active = jnp.sum((keys < C.KEY_PAD).astype(jnp.int32))
-    nbrs = []
-    for off in _offsets(kernel, dilation):
-        q = C.neighbor_keys(coords, jnp.asarray(off))
-        nbrs.append(C.lookup(keys, q))
-    nbr = jnp.stack(nbrs, axis=1)
+    offs = jnp.asarray(_offsets(kernel, dilation))  # [K, 3]
+    K = offs.shape[0]
+    # queries [K, N]: coords shifted by every offset at once
+    shifted = coords[None, :, 1:] + offs[:, None, :]
+    q = jnp.concatenate(
+        [jnp.broadcast_to(coords[None, :, :1], (K,) + coords[:, :1].shape),
+         shifted], axis=-1)
+    qkeys = C.pack(q.reshape(-1, 4))
+    nbr = C.lookup(keys, qkeys).reshape(K, -1).T  # [N, K]
     if orient is None:
         orient = jnp.zeros((keys.shape[0],), jnp.int32)
     return LevelTopology(keys=keys, coords=coords, num_active=num_active,
@@ -167,26 +175,31 @@ def downsample_keys(level: LevelTopology, size: int, stride: int, cap: int
 
 def build_transition(fine: LevelTopology, coarse: LevelTopology,
                      size: int, stride: int) -> LevelTransition:
-    """Child (downsample) and up (deconv) maps between two built levels."""
-    offs = _even_offsets(size)
-    # child[j, k] = fine row at coarse_coord*stride + off_k
-    childs, ups = [], []
+    """Child (downsample) and up (deconv) maps between two built levels.
+    Lookups for all offsets are batched into one call each way."""
+    offs = jnp.asarray(_even_offsets(size))
     cc = coarse.coords
     fc = fine.coords
-    for off in offs:
-        o = jnp.asarray(off)
-        tgt = jnp.concatenate([cc[:, :1], cc[:, 1:] * stride + o], axis=-1)
-        tgt = jnp.where(cc[:, :1] >= 0, tgt, -1)
-        childs.append(C.lookup(fine.keys, C.pack(tgt)))
-        # up[i, k] = coarse row j with j*stride + off_k == fine coord i
-        num = fc[:, 1:] - o
-        divisible = jnp.all(num % stride == 0, axis=-1) & jnp.all(num >= 0, axis=-1)
-        j = jnp.concatenate([fc[:, :1], num // stride], axis=-1)
-        j = jnp.where((divisible & (fc[:, 0] >= 0))[:, None], j, -1)
-        ups.append(C.lookup(coarse.keys, C.pack(j)))
-    return LevelTransition(child=jnp.stack(childs, axis=1),
-                           up=jnp.stack(ups, axis=1),
-                           size=size, stride=stride)
+    K = offs.shape[0]
+
+    # child[j, k] = fine row at coarse_coord*stride + off_k
+    tgt_sp = cc[None, :, 1:] * stride + offs[:, None, :]    # [K, M, 3]
+    tgt = jnp.concatenate(
+        [jnp.broadcast_to(cc[None, :, :1], (K,) + cc[:, :1].shape), tgt_sp],
+        axis=-1)
+    tgt = jnp.where(cc[None, :, :1] >= 0, tgt, -1)
+    child = C.lookup(fine.keys, C.pack(tgt.reshape(-1, 4))).reshape(K, -1).T
+
+    # up[i, k] = coarse row j with j*stride + off_k == fine coord i
+    num = fc[None, :, 1:] - offs[:, None, :]                # [K, N, 3]
+    divisible = jnp.all((num % stride == 0) & (num >= 0), axis=-1)
+    j_sp = num // stride
+    j = jnp.concatenate(
+        [jnp.broadcast_to(fc[None, :, :1], (K,) + fc[:, :1].shape), j_sp],
+        axis=-1)
+    j = jnp.where((divisible & (fc[None, :, 0] >= 0))[..., None], j, -1)
+    up = C.lookup(coarse.keys, C.pack(j.reshape(-1, 4))).reshape(K, -1).T
+    return LevelTransition(child=child, up=up, size=size, stride=stride)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,8 +48,11 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
             g, w_k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_t)
 
-    acc = jnp.zeros((nbr.shape[0], weight.shape[2]), acc_t)
-    acc = jax.lax.fori_loop(0, K, body, acc)
+    from occuseg_tpu.core.coords import full_varying_like
+    acc = full_varying_like(feats, (nbr.shape[0], weight.shape[2]), 0, acc_t)
+    # unroll a little so gather DMA of iteration k+1 can overlap the MXU of
+    # iteration k, while still bounding live temps (full unroll OOMed)
+    acc = jax.lax.fori_loop(0, K, body, acc, unroll=3)
     return acc.astype(out_dtype)
 
 
@@ -103,9 +106,10 @@ def _gather_conv_core_bwd(res, ct):
             preferred_element_type=acc_t)                   # [N, Cin]
         return d_feats + contrib, d_w
 
-    d_feats = jnp.zeros((feats.shape[0], Cin), acc_t)
-    d_w = jnp.zeros((K, Cin, Cout), acc_t)
-    d_feats, d_w = jax.lax.fori_loop(0, K, body, (d_feats, d_w))
+    from occuseg_tpu.core.coords import full_varying_like
+    d_feats = full_varying_like(feats, (feats.shape[0], Cin), 0, acc_t)
+    d_w = full_varying_like(feats, (K, Cin, Cout), 0, acc_t)
+    d_feats, d_w = jax.lax.fori_loop(0, K, body, (d_feats, d_w), unroll=3)
     return (d_feats.astype(feats.dtype), None, None, d_w.astype(w_dtype))
 
 
