@@ -20,6 +20,12 @@ SCANNET_CLASS_LABELS = (
     "otherfurniture",
 )
 
+# Stanford3D / S3DIS variant (reference `examples/ScanNet/utils.py:322-380`)
+STANFORD_CLASS_LABELS = (
+    "ceiling", "floor", "wall", "beam", "column", "window", "door", "table",
+    "chair", "sofa", "bookcase", "board", "clutter",
+)
+
 
 @jax.jit
 def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray,
