@@ -308,3 +308,39 @@ def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
         "classification_loss": classification, "occupancy_loss": occupancy,
         "instance_iou": miou, "total": total,
     }
+
+
+def drift_loss(embedding: jnp.ndarray, regressed_pose: jnp.ndarray,
+               pose: jnp.ndarray, offset_pred: jnp.ndarray,
+               instance_id: jnp.ndarray, labels: jnp.ndarray,
+               point_scene: jnp.ndarray, num_scenes: int,
+               num_instances: int,
+               cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+    """DriftLoss (reference `discriminative.py:7-36`; disabled by default at
+    `train_instance.py:240` but part of the loss library): for foreground
+    instances, L1 between offset-weighted embeddings/regressed poses and the
+    offset-weighted instance means, over points with offset > 0.01."""
+    I = num_instances
+    seg = _sanitize_seg(instance_id, I)
+    valid = (instance_id >= 0) & (offset_pred.reshape(-1) > 0.01)
+    e = embedding.astype(jnp.float32)
+    rp = regressed_pose.astype(jnp.float32)
+    w = offset_pred.reshape(-1, 1).astype(jnp.float32)
+
+    mu_e, _ = _seg_mean(jnp.where((instance_id >= 0)[:, None], e, 0), seg,
+                        I + 1)
+    mu_p, _ = _seg_mean(jnp.where((instance_id >= 0)[:, None],
+                                  pose.astype(jnp.float32), 0), seg, I + 1)
+    scene_i, count_i, cls_i, exists = _instance_stats(
+        instance_id, point_scene, labels, I)
+    fg = exists & (cls_i >= cfg.foreground_class_threshold)
+
+    segc = jnp.clip(seg, 0, I - 1)
+    err = (jnp.abs(e * w - mu_e[segc] * w).mean(axis=1)
+           + jnp.abs(rp * w - mu_p[segc] * w).mean(axis=1))
+    use = valid & fg[segc]
+    per_inst = _seg_sum(jnp.where(use, err, 0), seg, I + 1)[:I]
+    per_cnt = _seg_sum(use.astype(jnp.float32), seg, I + 1)[:I]
+    per_inst = jnp.where(per_cnt > 0, per_inst / jnp.maximum(per_cnt, 1), 0)
+    n_fg = jnp.maximum(jnp.sum((fg & (per_cnt > 0)).astype(jnp.float32)), 1)
+    return jnp.sum(per_inst) / n_fg
