@@ -120,13 +120,17 @@ def compact_unique(sorted_keys: jnp.ndarray, cap: int):
     Returns (unique_keys[cap] int64, first_row[cap] int32, num_unique).
     `first_row[j]` is the row in `sorted_keys` where unique key j first
     appears (-1 for padding slots).
+
+    Scatter-free: left-packing is done by binary search over the running
+    count of firsts (unsorted 1D scatters can lower very poorly on TPU).
+    first_row[j] = first position where cumsum(is_first) == j+1.
     """
     is_first, segment_id, num_unique = unique_consecutive(sorted_keys)
-    n = sorted_keys.shape[0]
-    slot = jnp.where(is_first, segment_id, cap)
-    unique_keys = jnp.full((cap + 1,), KEY_PAD, dtype=sorted_keys.dtype)
-    unique_keys = unique_keys.at[slot].set(sorted_keys, mode="drop")[:cap]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    first_row = jnp.full((cap + 1,), -1, dtype=jnp.int32)
-    first_row = first_row.at[slot].set(rows, mode="drop")[:cap]
+    csum = jnp.cumsum(is_first.astype(jnp.int32))       # [N], sorted
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)   # [cap]
+    pos = jnp.searchsorted(csum, targets, side="left").astype(jnp.int32)
+    valid = targets <= num_unique
+    pos_c = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    unique_keys = jnp.where(valid, sorted_keys[pos_c], KEY_PAD)
+    first_row = jnp.where(valid, pos_c, -1)
     return unique_keys, first_row, jnp.minimum(num_unique, cap)

@@ -137,9 +137,12 @@ def voxelize_coords(point_coords: jnp.ndarray, cap: int):
     skeys = pkeys[order]
     _, segment_id, _ = C.unique_consecutive(skeys)
     unique_keys, _, _ = C.compact_unique(skeys, cap)
-    # p2v in original point order; points past cap or invalid -> -1
+    # p2v in original point order; points past cap or invalid -> -1.
+    # Inverse permutation via a second argsort — a plain 1D scatter can
+    # lower to a serial loop on TPU.
     vox_row = jnp.where(segment_id < cap, segment_id, -1)
-    p2v = jnp.zeros(point_coords.shape[0], jnp.int32).at[order].set(vox_row)
+    inv_order = jnp.argsort(order)
+    p2v = vox_row[inv_order]
     return unique_keys, p2v
 
 
