@@ -187,18 +187,28 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
 
 
 def evaluate_semantic(config: Dict, state, model, spec) -> Dict:
-    """Per-epoch semantic eval: mean IoU over the val split
-    (reference `evaluate`, `train_instance.py:258-342`)."""
+    """Per-epoch semantic eval: mean IoU over the val split, averaging
+    logits over `val_reps` rotated views (reference `evaluate`,
+    `train_instance.py:258-342`, accumulation into `store`)."""
     dataset = get_dataset(config)
     p_cap = config["point_cap"]
     i_cap = config["instance_cap"]
+    reps = max(int(config.get("val_reps", 1)), 1)
     ev = jax.jit(make_eval_step(model, spec))
     conf = np.zeros((20, 20), np.int64)
-    for raw in dataset.val_batches(p_cap, i_cap, 1):
-        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "region"}
-        out = ev(state, batch)
-        pred = np.asarray(jnp.argmax(out.semantics, axis=-1))
-        gt = np.asarray(batch["labels"])
+    per_rep = [dataset.val_batches(p_cap, i_cap, 1, val_rep=r)
+               for r in range(reps)]
+    for raws in zip(*per_rep):
+        store = None
+        gt = None
+        for raw in raws:
+            batch = {k: jnp.asarray(v) for k, v in raw.items()
+                     if k != "region"}
+            out = ev(state, batch)
+            logits = np.asarray(out.semantics)
+            store = logits if store is None else store + logits
+            gt = np.asarray(batch["labels"])
+        pred = np.argmax(store, axis=-1)
         conf += np.asarray(confusion_matrix(jnp.asarray(pred),
                                             jnp.asarray(gt)))
     return iou_from_confusion(conf)
