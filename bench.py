@@ -27,7 +27,7 @@ GV100_EST_VOXELS_PER_SEC = 1.0e6
 # Topology/batch sizing: one ~180k-voxel scene (typical 2cm ScanNet room is
 # 100k-300k voxels; SURVEY.md §5.7).
 P_CAP = 262_144
-CAPS = (262_144, 131_072, 65_536, 32_768, 16_384, 8_192)
+CAPS = (262_144, 223_232, 144_384, 78_848, 47_104, 31_744)
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 

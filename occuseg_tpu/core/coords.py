@@ -6,13 +6,21 @@ reference `sparseconvnet/SCN/Metadata/Metadata.h:62-120` and
 `SCN/CUDA/CUDPPWrapper.hpp`). On TPU, mutable hash tables are hostile to XLA;
 instead every set of active sites is a **sorted array of packed int64 keys**:
 
-    key = (batch << 36) | (z << 24) | (y << 12) | (x)
+    key = (batch << 36) | morton12(z, y, x)
 
-with 12 bits per spatial axis (the reference's input domain is a 4096^3
-window, `examples/ScanNet/config.py:49`). Membership queries — the core
-operation behind rulebook generation (reference
-`SCN/Metadata/SubmanifoldConvolutionRules.h:114-150`) — become
-`searchsorted` + equality, fully inside jit with static shapes.
+where `morton12` interleaves the three 12-bit coordinates (the reference's
+input domain is a 4096^3 window, `examples/ScanNet/config.py:49`; batch gets
+the bits above). Membership queries — the core operation behind rulebook
+generation (reference `SCN/Metadata/SubmanifoldConvolutionRules.h:114-150`)
+— become `searchsorted` + equality, fully inside jit with static shapes.
+
+Morton (Z-order) interleaving, not plain lexicographic packing, for two
+structural wins:
+  * the stride-2 parent key is `(spatial bits) >> 3` — strictly monotone, so
+    every UNet downsample level derives SORTED from its parent with NO sort
+    (int64 sorts dominate plan compile + run time on TPU);
+  * spatially-near neighbors are near in row order, which bounds the row
+    span gathered by convolutions (locality for VMEM-window kernels).
 
 Padding rows carry `KEY_PAD`, which sorts after every real key, so sorted
 arrays keep all real sites in a contiguous prefix.
@@ -28,9 +36,34 @@ import jax.numpy as jnp
 AXIS_BITS = 12
 AXIS_SIZE = 1 << AXIS_BITS  # 4096
 _AXIS_MASK = AXIS_SIZE - 1
+SPATIAL_BITS = 3 * AXIS_BITS  # 36 interleaved bits
+_SPATIAL_MASK = (1 << SPATIAL_BITS) - 1
 
 # Sorts strictly after any real key (real keys are < 2^62 for batch < 2^26).
 KEY_PAD = jnp.int64(1) << jnp.int64(62)
+
+
+def _spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low bits of v so bit i lands at bit 3i (canonical 64-bit
+    3D-Morton spread, valid for up to 21 input bits)."""
+    x = v.astype(jnp.int64) & 0x1FFFFF
+    x = (x | (x << 32)) & 0x1F00000000FFFF
+    x = (x | (x << 16)) & 0x1F0000FF0000FF
+    x = (x | (x << 8)) & 0x100F00F00F00F00F
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3
+    x = (x | (x << 2)) & 0x1249249249249249
+    return x
+
+
+def _compact3(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _spread3: collect bits 0,3,6,... into the low bits."""
+    x = v & 0x1249249249249249
+    x = (x | (x >> 2)) & 0x10C30C30C30C30C3
+    x = (x | (x >> 4)) & 0x100F00F00F00F00F
+    x = (x | (x >> 8)) & 0x1F0000FF0000FF
+    x = (x | (x >> 16)) & 0x1F00000000FFFF
+    x = (x | (x >> 32)) & 0x1FFFFF
+    return x
 
 
 def full_varying_like(ref: jnp.ndarray, shape, fill, dtype) -> jnp.ndarray:
@@ -42,14 +75,15 @@ def full_varying_like(ref: jnp.ndarray, shape, fill, dtype) -> jnp.ndarray:
 
 
 def pack(coords: jnp.ndarray) -> jnp.ndarray:
-    """Pack int32 coords [N,4] (b,z,y,x) into sortable int64 keys [N].
+    """Pack int32 coords [N,4] (b,z,y,x) into sortable Morton int64 keys.
 
     Rows with any out-of-range component (e.g. the -1 padding sentinel) map to
     KEY_PAD so they sort to the end and never match a real query.
     """
     c = coords.astype(jnp.int64)
     b, z, y, x = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
-    key = (b << (3 * AXIS_BITS)) | (z << (2 * AXIS_BITS)) | (y << AXIS_BITS) | x
+    morton = (_spread3(z) << 2) | (_spread3(y) << 1) | _spread3(x)
+    key = (b << SPATIAL_BITS) | morton
     spatial_ok = jnp.all((c[..., 1:] >= 0) & (c[..., 1:] < AXIS_SIZE), axis=-1)
     valid = spatial_ok & (b >= 0)
     return jnp.where(valid, key, KEY_PAD)
@@ -57,12 +91,22 @@ def pack(coords: jnp.ndarray) -> jnp.ndarray:
 
 def unpack(keys: jnp.ndarray) -> jnp.ndarray:
     """Inverse of `pack`: int64 keys [N] -> int32 coords [N,4]; pad rows -> -1."""
-    b = (keys >> (3 * AXIS_BITS)).astype(jnp.int32)
-    z = ((keys >> (2 * AXIS_BITS)) & _AXIS_MASK).astype(jnp.int32)
-    y = ((keys >> AXIS_BITS) & _AXIS_MASK).astype(jnp.int32)
-    x = (keys & _AXIS_MASK).astype(jnp.int32)
+    b = (keys >> SPATIAL_BITS).astype(jnp.int32)
+    morton = keys & _SPATIAL_MASK
+    z = _compact3(morton >> 2).astype(jnp.int32)
+    y = _compact3(morton >> 1).astype(jnp.int32)
+    x = _compact3(morton).astype(jnp.int32)
     out = jnp.stack([b, z, y, x], axis=-1)
     return jnp.where((keys >= KEY_PAD)[..., None], jnp.int32(-1), out)
+
+
+def parent_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 parent key: spatial Morton bits >> 3, batch bits preserved.
+    STRICTLY monotone in `keys`, so a sorted level's parents are sorted —
+    the property that makes UNet downsampling sort-free."""
+    b = keys & ~jnp.int64(_SPATIAL_MASK)
+    parent = b | ((keys & _SPATIAL_MASK) >> 3)
+    return jnp.where(keys >= KEY_PAD, KEY_PAD, parent)
 
 
 def neighbor_keys(coords: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:

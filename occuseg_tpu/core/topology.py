@@ -138,11 +138,10 @@ def voxelize_coords(point_coords: jnp.ndarray, cap: int):
     _, segment_id, _ = C.unique_consecutive(skeys)
     unique_keys, _, _ = C.compact_unique(skeys, cap)
     # p2v in original point order; points past cap or invalid -> -1.
-    # Inverse permutation via a second argsort — a plain 1D scatter can
-    # lower to a serial loop on TPU.
+    # One int32 scatter (a second argsort would double the plan's dominant
+    # sort cost — int64 sorts dominate plan compile AND run time).
     vox_row = jnp.where(segment_id < cap, segment_id, -1)
-    inv_order = jnp.argsort(order)
-    p2v = vox_row[inv_order]
+    p2v = jnp.zeros(point_coords.shape[0], jnp.int32).at[order].set(vox_row)
     return unique_keys, p2v
 
 
@@ -154,8 +153,18 @@ def downsample_keys(level: LevelTopology, size: int, stride: int, cap: int
     covers it (`OutputRegionCalculator`, `RectangularRegions.h`), then
     sort+unique. For size == stride this is exactly floor(coord/stride).
     """
-    ncand = -(-size // stride)  # ceil(size/stride) candidates per axis
     c = level.coords
+    if size == stride == 2:
+        # Fast path (the UNet default): each input has exactly one covering
+        # output, floor(coord/2), whose Morton key is the spatial bits >> 3
+        # — STRICTLY monotone, so the parents of a sorted level are already
+        # sorted and dedup needs NO sort (int64 sorts dominate both compile
+        # and run time of the plan; this is why keys are Morton, not lex).
+        pkeys = C.parent_keys(level.keys)
+        unique_keys, _, _ = C.compact_unique(pkeys, cap)
+        return unique_keys
+
+    ncand = -(-size // stride)  # ceil(size/stride) candidates per axis
     base = jnp.where(c[:, 1:] >= 0, c[:, 1:] // stride, -1)
     cand_keys = []
     for tz in range(ncand):

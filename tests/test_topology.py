@@ -21,13 +21,20 @@ def test_pack_unpack_roundtrip():
     assert np.all(np.asarray(keys[300:]) == np.asarray(C.KEY_PAD))
 
 
-def test_pack_sorts_lexicographically():
+def test_pack_is_injective_and_batch_major():
     rng = np.random.default_rng(1)
     pts = random_points(rng, 500, extent=4095, batch_size=3)
     keys = np.asarray(C.pack(jnp.asarray(pts)))
-    order = np.argsort(keys, kind="stable")
-    lex = np.lexsort((pts[:, 3], pts[:, 2], pts[:, 1], pts[:, 0]))
-    np.testing.assert_array_equal(np.sort(keys[order]), keys[lex])
+    # injective: distinct coords -> distinct keys
+    uniq_pts = {tuple(p) for p in pts}
+    assert len(np.unique(keys)) == len(uniq_pts)
+    # batch-major: all keys of batch b sort before batch b+1
+    for b in range(2):
+        assert keys[pts[:, 0] == b].max() < keys[pts[:, 0] == b + 1].min()
+    # stride-2 parent keys of sorted keys are sorted (Morton property)
+    ks = np.sort(keys)
+    par = np.asarray(C.parent_keys(jnp.asarray(ks)))
+    assert np.all(np.diff(par) >= 0)
 
 
 def test_voxelize_unique_and_p2v():
@@ -36,20 +43,16 @@ def test_voxelize_unique_and_p2v():
     cap = 512
     keys, p2v = T.voxelize_coords(jnp.asarray(pts), cap)
     keys, p2v = np.asarray(keys), np.asarray(p2v)
-    # expected unique voxels
-    real = pts[:400].astype(np.int64)
-    expected = np.unique(
-        real[:, 0] * 4096**3 + real[:, 1] * 4096**2 + real[:, 2] * 4096
-        + real[:, 3]
-    )
+    # expected unique voxels (via the same packing, order-independent)
+    real = pts[:400]
+    expected = np.unique(np.asarray(C.pack(jnp.asarray(real))))
     n = expected.shape[0]
     np.testing.assert_array_equal(keys[:n], expected)
     assert np.all(keys[n:] == np.asarray(C.KEY_PAD))
     # p2v maps each point to the row holding its own voxel key
+    own = np.asarray(C.pack(jnp.asarray(real)))
     for i in range(400):
-        k = (real[i, 0] * 4096**3 + real[i, 1] * 4096**2
-             + real[i, 2] * 4096 + real[i, 3])
-        assert keys[p2v[i]] == k
+        assert keys[p2v[i]] == own[i]
     assert np.all(p2v[400:] == -1)
 
 
