@@ -288,3 +288,51 @@ def build_plan(point_coords: jnp.ndarray, spec: PlanSpec,
         levels.append(lvl)
     return Topology(levels=tuple(levels), transitions=tuple(transitions),
                     p2v=p2v, num_points=num_points)
+
+
+def validate_plan(plan: Topology) -> dict:
+    """Host-side invariant checks (debug tool; the analog of the reference's
+    inline consistency blocks, `Metadata.cpp:448-476` and the chunk coverage
+    abort `SubmanifoldConvolutionRules.h:351-354`).
+
+    Returns a dict of violation counts; all zeros on a healthy plan."""
+    import numpy as np
+
+    out = {"overflow": int(bool(plan.overflow()))}
+    for li, lvl in enumerate(plan.levels):
+        keys = np.asarray(lvl.keys)
+        n = int(lvl.num_active)
+        sorted_ok = bool(np.all(np.diff(keys[:n].astype(np.int64)) > 0))
+        out[f"level{li}_unsorted_or_dup"] = int(not sorted_ok)
+        nbr = np.asarray(lvl.nbr)
+        k_center = nbr.shape[1] // 2
+        out[f"level{li}_bad_center"] = int(
+            np.sum(nbr[:n, k_center] != np.arange(n)))
+        # symmetry: nbr[r,k]==i <=> nbr[i,K-1-k]==r
+        K = nbr.shape[1]
+        bad_sym = 0
+        for k in range(K):
+            col = nbr[:n, k]
+            hit = col >= 0
+            rows = np.arange(n)[hit]
+            back = nbr[col[hit], K - 1 - k]
+            bad_sym += int(np.sum(back != rows))
+        out[f"level{li}_asymmetric"] = bad_sym
+    for ti, tr in enumerate(plan.transitions):
+        child = np.asarray(tr.child)
+        up = np.asarray(tr.up)
+        nf = int(plan.levels[ti].num_active)
+        nc = int(plan.levels[ti + 1].num_active)
+        K = child.shape[1]
+        bad = 0
+        for k in range(K):
+            col = child[:nc, k]
+            hit = col >= 0
+            bad += int(np.sum(up[col[hit], k] != np.arange(nc)[hit]))
+        out[f"transition{ti}_child_up_mismatch"] = bad
+        if tr.size == tr.stride:
+            covered = np.zeros(nf, bool)
+            flat = child[:nc].reshape(-1)
+            covered[flat[flat >= 0]] = True
+            out[f"transition{ti}_uncovered_fine"] = int(np.sum(~covered))
+    return out

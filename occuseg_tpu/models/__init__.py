@@ -1,4 +1,5 @@
 from occuseg_tpu.models.occuseg import (
+    ClusterSegNet,
     InstanceDenseUNet,
     LearningBWDenseUNet,
     ThreeVoxelKernel,

@@ -148,3 +148,35 @@ class LearningBWDenseUNet(nn.Module):
         occupancy = nn.softplus(nn.Dense(1, name="linear_occupancy")(
             nn.Dense(m, name="fc_occupancy")(base.features)))
         return base._replace(bw=bw, occupancy=occupancy)
+
+
+class ClusterSegNet(nn.Module):
+    """Supervoxel-cluster semantic classifier (reference `model.py:719-745`):
+    point MLP -> per-cluster max-pool -> cluster MLP -> class logits.
+    Clusters are given as a per-point segment id (padded, -1 = none)."""
+
+    num_classes: int = 20
+    num_clusters: int = 1024
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, cluster_index: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        import jax
+
+        def bn_relu(x, name):
+            h = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-4, name=f"{name}_bn")(x)
+            return nn.leaky_relu(h)
+
+        y = nn.Dense(128, name="mlp1")(features)
+        y = bn_relu(y, "l1")
+        y = nn.Dense(256, name="mlp2")(y)
+        y = bn_relu(y, "l2")
+        seg = jnp.where(cluster_index >= 0, cluster_index,
+                        self.num_clusters).astype(jnp.int32)
+        pooled = jax.ops.segment_max(y, seg,
+                                     num_segments=self.num_clusters + 1)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0)[:self.num_clusters]
+        z = nn.Dense(128, name="mlp3")(pooled)
+        z = bn_relu(z, "l3")
+        return nn.Dense(self.num_classes, name="mlp4")(z)

@@ -149,3 +149,12 @@ def test_build_plan_levels_consistent():
         nc = int(plan.levels[l + 1].num_active)
         child = np.asarray(tr.child)
         assert np.all((child[:nc] >= 0).any(axis=1))
+
+
+def test_validate_plan_clean():
+    rng = np.random.default_rng(6)
+    pts = random_points(rng, 600, extent=32, batch_size=2, pad_to=1024)
+    spec = T.PlanSpec(caps=(1024, 1024, 768, 512))
+    plan = T.build_plan(jnp.asarray(pts), spec)
+    report = T.validate_plan(plan)
+    assert all(v == 0 for v in report.values()), report
