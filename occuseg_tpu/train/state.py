@@ -86,8 +86,9 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
     """
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch_stats, batch):
-        plan = build_plan(batch["coords"], spec)
+    def loss_fn(params, batch_stats, batch, plan):
+        if plan is None:
+            plan = build_plan(batch["coords"], spec)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["features"], plan, True, mutable=["batch_stats"])
@@ -95,10 +96,13 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
             outputs, batch, num_scenes, num_instances, loss_cfg)
         return total, (parts, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
-                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   plan=None) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """`plan`: optional precomputed Topology (host-built,
+        `native/plan.py`); None builds it in-jit."""
         (_, (parts, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   plan)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             parts = jax.lax.pmean(parts, axis_name)
@@ -114,8 +118,10 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
 def make_eval_step(model, spec: PlanSpec) -> Callable:
     """Forward pass in eval mode (running BN stats), jitted by caller."""
 
-    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        plan = build_plan(batch["coords"], spec)
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  plan=None):
+        if plan is None:
+            plan = build_plan(batch["coords"], spec)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["features"], plan, False)
