@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import logging
 import os
+import queue
+import threading
 import time
-from typing import Dict, Optional
+from typing import Dict, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +94,34 @@ def get_dataset(config: Dict):
     return ds
 
 
+def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2
+                    ) -> Iterator[Tuple[Dict, Optional[object]]]:
+    """Yield (batch, host_plan) with the C++ plan built one batch ahead in a
+    worker thread — the loader-side analog of the reference's DataLoader
+    workers overlapping rulebook prep with GPU compute. host_plan is None
+    when the native library is unavailable (step builds it in-jit)."""
+    from occuseg_tpu.native.plan import build_plan_host
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for b in batches:
+                plan = build_plan_host(b["coords"], spec)
+                q.put((b, plan))
+        finally:
+            q.put(DONE)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        yield item
+
+
 def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     rng = np.random.default_rng(100)  # reference seeds (scannet.py:44-47)
     model = build_model(config)
@@ -147,18 +177,26 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             agg: Dict[str, float] = {}
             nb = 0
             counters = CounterState()
-            for raw in dataset.train_batches(rng, p_cap, i_cap,
-                                             batch_per_dev * n_dev
-                                             if n_dev > 1 else batch_per_dev):
+            batches = dataset.train_batches(
+                rng, p_cap, i_cap,
+                batch_per_dev * n_dev if n_dev > 1 else batch_per_dev)
+            if n_dev > 1:
+                source = ((b, None) for b in batches)
+            else:
+                source = plan_prefetcher(batches, spec)
+            for raw, host_plan in source:
                 raw = {k: v for k, v in raw.items() if k != "region"}
                 if n_dev > 1:
                     # split one big batch row-wise across devices
                     stacked = {k: np.stack(np.array_split(v, n_dev))
                                for k, v in raw.items()}
                     batch = shard_batch(stacked, mesh)
+                    state, parts = step_fn(state, batch)
                 else:
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-                state, parts = step_fn(state, batch)
+                    plan = (jax.tree.map(jnp.asarray, host_plan)
+                            if host_plan is not None else None)
+                    state, parts = step_fn(state, batch, plan)
                 for k, v in parts.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
                 nb += 1
