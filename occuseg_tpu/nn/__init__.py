@@ -1,4 +1,6 @@
 from occuseg_tpu.nn.modules import (
+    BLInputLayer,
+    BLOutputLayer,
     AveragePooling,
     BatchNormalization,
     BatchNormLeakyReLU,

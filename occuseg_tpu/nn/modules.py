@@ -257,3 +257,36 @@ class OutputLayer(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         assert x.level == 0, "OutputLayer expects level-0 features"
         return pool_ops.devoxelize_features(x.features, plan.p2v)
+
+
+class BLInputLayer(nn.Module):
+    """Batch x length point-cloud input (reference `ioLayers.py`
+    BLInputLayer / `IOLayersRules.h` blRules): dense [B, L, 4] coords +
+    [B, L, C] features -> level-0 sparse tensor. Rows with coords < 0 are
+    padding. The plan must have been built from the flattened coords."""
+
+    mode: str = "mean"
+
+    @nn.compact
+    def __call__(self, point_features: jnp.ndarray, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        B, L, C = point_features.shape
+        flat = point_features.reshape(B * L, C)
+        lvl = plan.levels[0]
+        vox = pool_ops.voxelize_features(flat, plan.p2v, lvl.cap,
+                                         mode=self.mode)
+        return SparseTensor(features=vox, num_active=lvl.num_active, level=0)
+
+
+class BLOutputLayer(nn.Module):
+    """Inverse of BLInputLayer: sparse level-0 features -> [B, L, C]."""
+
+    batch_size: int = 1
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> jnp.ndarray:
+        assert x.level == 0
+        flat = pool_ops.devoxelize_features(x.features, plan.p2v)
+        L = flat.shape[0] // self.batch_size
+        return flat.reshape(self.batch_size, L, -1)
