@@ -46,9 +46,13 @@ def supported(n_rows: int, cin: int, cout: int, K: int,
         and cout % 128 == 0
 
 
+_GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
+    operand_batching_dims=(1,), start_indices_batching_dims=(1,))
+
+
 def _kernel(nbr_ref, feats_ref, w_ref, out_ref):
     K = nbr_ref.shape[0]
-    n = feats_ref.shape[0]
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -57,14 +61,22 @@ def _kernel(nbr_ref, feats_ref, w_ref, out_ref):
 
     def body(k, acc):
         idx = nbr_ref[k, :]
-        safe = jnp.where(idx < 0, 0, idx)
+        safe = jnp.where(idx < 0, 0, idx).astype(jnp.int32)
         idxb = jnp.broadcast_to(safe[:, None], feats_ref.shape)
-        g = jnp.take_along_axis(feats_ref[:], idxb, axis=0)
+        # lax.gather in the exact batched form Mosaic lowers to
+        # tpu.dynamic_gather (take_along_axis would promote indices to
+        # int64 under x64 and loop the convert lowering)
+        g = jax.lax.gather(
+            feats_ref[:], idxb[..., None], _GATHER_DNUMS,
+            slice_sizes=(1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
         g = jnp.where((idx >= 0)[:, None], g, 0)
         return acc + jnp.dot(g, w_ref[k],
                              preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, K, body,
+    # int32 bounds: under global x64 a Python-int fori_loop counter becomes
+    # int64, which Mosaic's convert lowering cannot express (it recurses)
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(K), body,
                             jnp.zeros(out_ref.shape, jnp.float32))
     out_ref[:] = out_ref[:] + acc
 
@@ -81,6 +93,18 @@ def gather_conv_pallas(feats: jnp.ndarray, nbr_kn: jnp.ndarray,
     assert Cin % cin_block == 0 and Cout % cout_block == 0
     w = weight.astype(feats.dtype)
 
+    # Trace the kernel with x64 OFF: the package enables x64 globally (for
+    # packed keys) and under x64 some pallas-internal index constants become
+    # int64, which Mosaic's convert lowering cannot express (it recurses).
+    with jax.enable_x64(False):
+        out = _pallas_conv(feats, nbr_kn, w, cin_block, cout_block)
+    return out.astype(feats.dtype)
+
+
+def _pallas_conv(feats, nbr_kn, w, cin_block, cout_block):
+    N, Cin = feats.shape
+    K = nbr_kn.shape[0]
+    Cout = w.shape[2]
     out = pl.pallas_call(
         _kernel,
         grid=(Cout // cout_block, Cin // cin_block),
@@ -97,4 +121,4 @@ def gather_conv_pallas(feats: jnp.ndarray, nbr_kn: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Cout), jnp.float32),
     )(nbr_kn, feats, w)
-    return out.astype(feats.dtype)
+    return out
