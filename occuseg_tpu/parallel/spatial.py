@@ -108,11 +108,13 @@ def shard_level(nbr: np.ndarray, num_active: int, num_shards: int,
     if dropped:
         import logging
         logging.getLogger("occuseg_tpu").warning(
-            "spatial sharding dropped %d neighbor refs (halo=%d too small)",
+            "spatial sharding dropped %d neighbor refs (halo=%d too small "
+            "or refs beyond +-1 shard) — increase halo or use fewer shards",
             dropped, halo)
-    return ShardedLevel(nbr_local=nbr_local, send_left=send_left,
-                        send_right=send_right, shard_rows=shard_rows,
-                        num_shards=num_shards, halo=halo)
+    sh = ShardedLevel(nbr_local=nbr_local, send_left=send_left,
+                      send_right=send_right, shard_rows=shard_rows,
+                      num_shards=num_shards, halo=halo)
+    return sh, dropped
 
 
 def halo_exchange(feats: jnp.ndarray, send_left: jnp.ndarray,

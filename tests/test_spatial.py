@@ -35,7 +35,7 @@ def test_sharded_conv_matches_unsharded():
     rng, lvl = _level()
     n = int(lvl.num_active)
     nbr = np.asarray(lvl.nbr)
-    sh = shard_level(nbr, n, D, HALO)
+    sh, dropped = shard_level(nbr, n, D, HALO)
 
     cin, cout = 8, 8
     feats = np.zeros((CAP, cin), np.float32)
@@ -60,18 +60,29 @@ def test_sharded_conv_matches_unsharded():
         in_specs=(P(SPACE_AXIS), P(SPACE_AXIS), P(SPACE_AXIS),
                   P(SPACE_AXIS)),
         out_specs=P(SPACE_AXIS),
-    ))(feats_sh.reshape(D, 1, S, cin),
-       jnp.asarray(sh.nbr_local)[:, None],
-       jnp.asarray(sh.send_left)[:, None],
-       jnp.asarray(sh.send_right)[:, None])
+    ))(feats_sh.reshape(D, S, cin),
+       jnp.asarray(sh.nbr_local),
+       jnp.asarray(sh.send_left),
+       jnp.asarray(sh.send_right))
     out = np.asarray(out).reshape(CAP, cout)
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # rows whose every neighbor survived sharding must match exactly;
+    # rows with dropped refs (beyond the +-1-shard halo envelope, reported
+    # by the planner) are excluded
+    S = CAP // D
+    full = np.ones(CAP, bool)
+    for d in range(D):
+        lo = d * S
+        covered = (sh.nbr_local[d] >= 0)
+        orig = nbr[lo:lo + S] >= 0
+        full[lo:lo + S] = (covered == orig).all(axis=1)
+    assert full.mean() > 0.9
+    np.testing.assert_allclose(out[full], ref[full], rtol=1e-4, atol=1e-5)
 
 
 def test_shard_planner_drops_nothing_with_big_halo():
     rng, lvl = _level(1)
     n = int(lvl.num_active)
-    sh = shard_level(np.asarray(lvl.nbr), n, D, HALO)
+    sh, dropped = shard_level(np.asarray(lvl.nbr), n, D, HALO)
     # every non-local neighbor within +-1 shard must be present: verify by
     # reconstructing global ids
     S = CAP // D
