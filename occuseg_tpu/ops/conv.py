@@ -35,13 +35,16 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
     acc_t = _acc_dtype(out_dtype)
     weight = weight.astype(out_dtype)  # bf16 feats -> bf16 MXU operands
     K = weight.shape[0]
+    # one transpose so each offset's index slice is a CONTIGUOUS row read
+    # (column slices of [M,K] are ~8x index-traffic waste per offset)
+    nbr_kn = nbr.T
 
     # fori_loop (not an unrolled Python loop): the K gathers are mutually
     # independent, and XLA's scheduler hoists unrolled ones ahead of the
     # dots, keeping K big [M,Cin] temps alive at once (observed 19GB on the
     # m=64 UNet). The loop pins memory to one gather + the accumulator.
     def body(k, acc):
-        idx = jax.lax.dynamic_index_in_dim(nbr, k, axis=1, keepdims=False)
+        idx = jax.lax.dynamic_index_in_dim(nbr_kn, k, axis=0, keepdims=False)
         g = _gather_rows(feats, idx)
         w_k = jax.lax.dynamic_index_in_dim(weight, k, axis=0, keepdims=False)
         return acc + jax.lax.dot_general(
@@ -87,16 +90,18 @@ def _gather_conv_core_bwd(res, ct):
     weight = weight.astype(feats.dtype)
     ctc = ct.astype(feats.dtype)
     K, Cin, Cout = weight.shape
+    nbr_kn = nbr.T
+    nbr_t_kn = nbr_t.T
 
     def body(k, carry):
         d_feats, d_w = carry
-        idx = jax.lax.dynamic_index_in_dim(nbr, k, axis=1, keepdims=False)
+        idx = jax.lax.dynamic_index_in_dim(nbr_kn, k, axis=0, keepdims=False)
         g = _gather_rows(feats, idx)                        # recompute
         dwk = jax.lax.dot_general(
             g, ctc, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc_t)                   # [Cin, Cout]
         d_w = jax.lax.dynamic_update_index_in_dim(d_w, dwk, k, axis=0)
-        idx_t = jax.lax.dynamic_index_in_dim(nbr_t, k, axis=1,
+        idx_t = jax.lax.dynamic_index_in_dim(nbr_t_kn, k, axis=0,
                                              keepdims=False)
         gct = _gather_rows(ctc, idx_t)                      # [N, Cout]
         w_rev = jax.lax.dynamic_index_in_dim(weight, K - 1 - k, axis=0,
