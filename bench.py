@@ -31,12 +31,15 @@ import time
 
 GV100_EST_VOXELS_PER_SEC = 1.0e6
 
-# One ~180k-voxel scene (typical 2cm ScanNet room is 100k-300k voxels;
-# SURVEY.md §5.7). Caps sized snugly to the scene's measured per-level
-# actives [181933, 130259, 57900, 15791, 3714, 839] — padded rows are pure
-# overhead, and a bucketing loader sizes caps per batch the same way.
-P_CAP = 262_144
-CAPS = (196_608, 139_264, 63_488, 17_408, 4_096, 1_024)
+# Four ~180k-voxel scenes per step (the reference's canonical batch is 5
+# scenes, train_instance.sh; typical 2cm ScanNet room is 100k-300k voxels,
+# SURVEY.md §5.7). Caps sized snugly to measured per-level actives —
+# padded rows are pure overhead, and a bucketing loader sizes caps per
+# batch the same way.
+NUM_SCENES = 4
+P_CAP = 4 * 262_144
+CAPS = (4 * 196_608, 4 * 139_264, 4 * 63_488, 4 * 17_408, 4 * 4_096,
+        4 * 1_024)
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 
@@ -55,8 +58,8 @@ def main() -> None:
 
     spec = PlanSpec(caps=CAPS)
     scene = SceneConfig(num_points=200_000, extent=512, num_objects=24)
-    batch = make_batch(scene, num_scenes=1, p_cap=P_CAP, num_instances=64,
-                       seed=0)
+    batch = make_batch(scene, num_scenes=NUM_SCENES, p_cap=P_CAP,
+                       num_instances=64, seed=0)
 
     t0 = time.perf_counter()
     host_plan = build_plan_host(batch["coords"], spec)

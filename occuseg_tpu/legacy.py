@@ -206,3 +206,69 @@ class AddTable(nn.Module):
         for other in xs[1:]:
             out = add_features(out, other)
         return out
+
+
+def ShapeContext(dimension, nIn, filter_size=3):
+    _check3(dimension)
+    from occuseg_tpu.nn.extras import ShapeContext as _SC
+    return _SC()
+
+
+def MultiscaleShapeContext(dimension, nIn, n_scales=3, **_):
+    _check3(dimension)
+    from occuseg_tpu.nn.extras import MultiscaleShapeContext as _MSC
+    return _MSC(num_scales=n_scales)
+
+
+def InputLayerInput(coords, features):
+    """(reference `inputBatch.py` InputLayerInput): pair container for the
+    raw (coords, features) fed to InputLayer."""
+    return (coords, features)
+
+
+class InputBatch:
+    """Thin compat shim for the reference's InputBatch (`inputBatch.py`):
+    accumulates per-sample point clouds and produces the padded batch dict +
+    host plan used by this framework."""
+
+    def __init__(self, dimension: int, spatial_size: int, p_cap: int = None):
+        _check3(dimension)
+        self.spatial_size = spatial_size
+        self.p_cap = p_cap
+        self._coords = []
+        self._features = []
+
+    def add_sample(self, coords, features) -> None:
+        import numpy as np
+        b = len(self._coords)
+        c = np.asarray(coords)
+        self._coords.append(
+            np.concatenate([np.full((c.shape[0], 1), b, c.dtype), c], axis=1))
+        self._features.append(np.asarray(features))
+
+    def precompute_metadata(self, spec):
+        """Build the topology plan (host) for the accumulated batch."""
+        import numpy as np
+        from occuseg_tpu.native.plan import build_plan_host
+        coords, _ = self.arrays()
+        return build_plan_host(coords, spec)
+
+    def arrays(self):
+        import numpy as np
+        coords = np.concatenate(self._coords).astype(np.int32)
+        feats = np.concatenate(self._features).astype(np.float32)
+        cap = self.p_cap or coords.shape[0]
+        out_c = np.full((cap, 4), -1, np.int32)
+        out_f = np.zeros((cap,) + feats.shape[1:], np.float32)
+        n = min(coords.shape[0], cap)
+        out_c[:n] = coords[:n]
+        out_f[:n] = feats[:n]
+        return out_c, out_f
+
+
+def Identity_():
+    return Identity()
+
+
+Dropout_ = Dropout
+BatchwiseDropout = BatchwiseDropout

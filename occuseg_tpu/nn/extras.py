@@ -277,3 +277,33 @@ def compare_sparse(plan_a: Topology, a: SparseTensor,
     na = jnp.sum(a.features ** 2)
     nb = jnp.sum(b.features ** 2)
     return (da + db) / jnp.maximum(jnp.maximum(na, nb), 1e-12)
+
+
+class MultiscaleShapeContext(nn.Module):
+    """ShapeContext at several scales, upsampled back and concatenated
+    (reference `shapeContext.py` MultiscaleShapeContext: input layers at
+    power-of-2 downsamplings + shape context + nearest upsample)."""
+
+    num_scales: int = 3
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology, train=False):
+        from occuseg_tpu.nn.extras import upsample_feature
+
+        assert self.num_scales <= len(plan.levels) - x.level
+        parts = [ShapeContext(name="sc0")(x, plan, train)]
+        cur = x
+        for s in range(1, self.num_scales):
+            from occuseg_tpu.ops import pool as _pool
+            tr = plan.transitions[cur.level]
+            pooled = _pool.avg_pool(cur.features, tr.child)
+            lvl = plan.levels[cur.level + 1]
+            cur = SparseTensor(features=pooled, num_active=lvl.num_active,
+                               level=cur.level + 1)
+            sc = ShapeContext(name=f"sc{s}")(cur, plan, train)
+            up = sc
+            for back in range(cur.level, x.level, -1):
+                up = upsample_feature(up, back - 1, plan, stride=2)
+            parts.append(up)
+        feats = jnp.concatenate([p.features for p in parts], axis=-1)
+        return x.with_features(feats)
