@@ -95,15 +95,20 @@ def _gather_conv_core_bwd(res, ct):
 
     def body(k, carry):
         d_feats, d_w = carry
-        idx = jax.lax.dynamic_index_in_dim(nbr_kn, k, axis=0, keepdims=False)
-        g = _gather_rows(feats, idx)                        # recompute
-        dwk = jax.lax.dot_general(
-            g, ctc, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=acc_t)                   # [Cin, Cout]
-        d_w = jax.lax.dynamic_update_index_in_dim(d_w, dwk, k, axis=0)
+        # ONE gather serves both gradients: with gct = ct[nbr_t[:, k]],
+        #   d_feats  += gct @ W[K-1-k]^T             (transpose-map identity)
+        #   dW[K-1-k] = feats^T @ gct                (same pairing: the rows
+        # of ct that saw feats[i] through offset K-1-k are exactly
+        # gct[i]). This removes the feats re-gather — a third of all
+        # fwd+bwd gather traffic.
         idx_t = jax.lax.dynamic_index_in_dim(nbr_t_kn, k, axis=0,
                                              keepdims=False)
         gct = _gather_rows(ctc, idx_t)                      # [N, Cout]
+        dwk = jax.lax.dot_general(
+            feats, gct, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_t)                   # [Cin, Cout]
+        d_w = jax.lax.dynamic_update_index_in_dim(d_w, dwk, K - 1 - k,
+                                                  axis=0)
         w_rev = jax.lax.dynamic_index_in_dim(weight, K - 1 - k, axis=0,
                                              keepdims=False)
         contrib = jax.lax.dot_general(
