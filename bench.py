@@ -31,15 +31,15 @@ import time
 
 GV100_EST_VOXELS_PER_SEC = 1.0e6
 
-# Four ~180k-voxel scenes per step (the reference's canonical batch is 5
-# scenes, train_instance.sh; typical 2cm ScanNet room is 100k-300k voxels,
-# SURVEY.md §5.7). Caps sized snugly to measured per-level actives —
-# padded rows are pure overhead, and a bucketing loader sizes caps per
-# batch the same way.
-NUM_SCENES = 4
-P_CAP = 4 * 262_144
-CAPS = (4 * 196_608, 4 * 139_264, 4 * 63_488, 4 * 17_408, 4 * 4_096,
-        4 * 1_024)
+# One ~180k-voxel scene per step (typical 2cm ScanNet room is 100k-300k
+# voxels, SURVEY.md §5.7). Caps sized snugly to the scene's measured
+# per-level actives — padded rows are pure overhead, and a bucketing loader
+# sizes caps per batch the same way. NB: larger batches currently scale
+# SUBLINEARLY (XLA's gather slows superlinearly with table size; batch-4
+# measured 4.3x slower per voxel) — single-scene steps are the fast point.
+NUM_SCENES = 1
+P_CAP = 262_144
+CAPS = (196_608, 139_264, 63_488, 17_408, 4_096, 1_024)
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 

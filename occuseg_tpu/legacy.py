@@ -17,8 +17,6 @@ Example (reference `networkArchitectures.py:207-213` docstring):
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
-
 import flax.linen as nn
 
 from occuseg_tpu.core.sparse_tensor import (

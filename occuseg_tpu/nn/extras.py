@@ -12,9 +12,6 @@ AddCoords (`utils.py:153-166`) and compare_sparse (`utils.py:168-182`).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

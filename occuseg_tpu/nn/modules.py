@@ -16,8 +16,6 @@ transitions just change the tensor's static `level` index.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

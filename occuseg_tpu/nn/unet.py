@@ -14,7 +14,7 @@ several transition maps per level and are deferred.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 
@@ -25,7 +25,6 @@ from occuseg_tpu.core.sparse_tensor import (
 )
 from occuseg_tpu.core.topology import Topology
 from occuseg_tpu.nn.modules import (
-    AveragePooling,
     BatchNormalization,
     BatchNormReLU,
     Convolution,

@@ -16,7 +16,7 @@ Statistics are computed in float32 regardless of feature dtype.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ per-chip plan (different num_active per chip) never leaks dynamic shapes.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Sequence
 
 import jax

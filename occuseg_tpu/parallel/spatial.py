@@ -22,7 +22,6 @@ answer to oversized scenes is cropping, `scannet.py:129-135`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
