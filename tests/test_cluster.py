@@ -104,3 +104,21 @@ def test_occupancy_merge_joins_fragments():
     # C stays separate
     assert merged[4] != merged[0]
     assert len({merged[4], merged[5], merged[6], merged[7]}) == 1
+
+
+def test_submission_writer_and_fake_judge(tmp_path):
+    from occuseg_tpu.cluster.submission import write_scene_submission
+
+    rng = np.random.default_rng(5)
+    n = 300
+    proposals = [[] for _ in range(20)]
+    proposals[4] = [rng.random(n) < 0.3, rng.random(n) < 0.2]
+    proposals[7] = [rng.random(n) < 0.1]
+    main = write_scene_submission(str(tmp_path), "scene0000_00", proposals)
+    lines = open(main).read().strip().splitlines()
+    assert len(lines) == 3
+    rel, label, conf = lines[0].split()
+    assert label == "5"  # class 4 -> NYU40 id 5
+    mask = np.loadtxt(str(tmp_path / rel))
+    assert mask.shape == (n,)
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
