@@ -126,6 +126,61 @@ def _gather_conv_core_bwd(res, ct):
 _gather_conv_core.defvjp(_gather_conv_core_fwd, _gather_conv_core_bwd)
 
 
+# Below this many bytes for the materialized [M, K, C] gathered block, use
+# the single-matmul fused path (deep UNet levels): one big gather + one
+# MXU-friendly [M, K*Cin] x [K*Cin, Cout] matmul beats K loop iterations.
+_FUSED_BYTES = 256 * 1024 * 1024
+
+
+def _fused_fwd_impl(feats, nbr, weight):
+    out_dtype = feats.dtype
+    acc_t = _acc_dtype(out_dtype)
+    K, Cin, Cout = weight.shape
+    g = _gather_rows(feats, nbr.reshape(-1)).reshape(nbr.shape[0], K * Cin)
+    out = jax.lax.dot_general(
+        g, weight.astype(out_dtype).reshape(K * Cin, Cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_t)
+    return out.astype(out_dtype)
+
+
+@jax.custom_vjp
+def _gather_conv_fused_core(feats, nbr, nbr_t, weight):
+    return _fused_fwd_impl(feats, nbr, weight)
+
+
+def _gather_conv_fused_fwd(feats, nbr, nbr_t, weight):
+    return _fused_fwd_impl(feats, nbr, weight), (feats, nbr_t, weight)
+
+
+def _gather_conv_fused_bwd(res, ct):
+    # Fused analog of _gather_conv_core_bwd (same transpose-map algebra):
+    #   gct[i,k]  = ct[nbr_t[i,k]]                       [N, K, Cout]
+    #   d_feats   = [N, K*Cout] @ stack_k(W[K-1-k]^T)    [N, Cin]
+    #   dW[K-1-k] = einsum('nc,nko->cko', feats, gct) transposed to [k,c,o]
+    feats, nbr_t, weight = res
+    acc_t = _acc_dtype(feats.dtype)
+    w_dtype = weight.dtype
+    K, Cin, Cout = weight.shape
+    w = weight.astype(feats.dtype)
+    ctc = ct.astype(feats.dtype)
+    N = nbr_t.shape[0]
+    gct = _gather_rows(ctc, nbr_t.reshape(-1)).reshape(N, K, Cout)
+    w_rev_t = jnp.transpose(w[::-1], (0, 2, 1)).reshape(K * Cout, Cin)
+    d_feats = jax.lax.dot_general(
+        gct.reshape(N, K * Cout), w_rev_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_t)
+    dw_rev = jax.lax.dot_general(
+        feats, gct, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t)           # [Cin, K, Cout]
+    d_w = jnp.transpose(dw_rev, (1, 0, 2))[::-1]  # [K, Cin, Cout], un-rev
+    return (d_feats.astype(feats.dtype), None, None, d_w.astype(w_dtype))
+
+
+_gather_conv_fused_core.defvjp(_gather_conv_fused_fwd, _gather_conv_fused_bwd)
+
+
 def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
                 nbr_t: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -148,7 +203,13 @@ def gather_conv(feats: jnp.ndarray, nbr: jnp.ndarray, weight: jnp.ndarray,
         assert nbr.shape[0] == feats.shape[0], (
             "non-submanifold gather_conv needs an explicit transpose map")
         nbr_t = nbr
-    out = _gather_conv_core(feats, nbr, nbr_t, weight)
+    K, Cin, _ = weight.shape
+    block_bytes = max(nbr.shape[0], nbr_t.shape[0]) * K * Cin \
+        * jnp.dtype(feats.dtype).itemsize
+    if block_bytes <= _FUSED_BYTES:
+        out = _gather_conv_fused_core(feats, nbr, nbr_t, weight)
+    else:
+        out = _gather_conv_core(feats, nbr, nbr_t, weight)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
