@@ -264,3 +264,47 @@ def test_strided_conv_and_deconv_gradients_numeric():
                    nbr_t=tr.up[:, ::-1])))) / (2 * eps)
         np.testing.assert_allclose(float(gw[idx]), float(num), rtol=1e-5,
                                    atol=1e-8)
+
+
+def test_loop_and_fused_conv_paths_agree():
+    """The size heuristic switches between two custom-VJP implementations;
+    both must produce identical outputs AND gradients."""
+    cin, cout = 3, 4
+    rng, lvl, feats, n = _scene(20, cin)
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float64))
+    f64 = jnp.asarray(feats.astype(np.float64))
+
+    def loss(core):
+        def f(x, ww):
+            return jnp.sum(jnp.sin(core(x, lvl.nbr, lvl.nbr, ww)))
+        return f
+
+    loop_f = loss(conv_ops._gather_conv_core)
+    fused_f = loss(conv_ops._gather_conv_fused_core)
+    np.testing.assert_allclose(float(loop_f(f64, w)), float(fused_f(f64, w)),
+                               rtol=1e-12)
+    gl = jax.grad(loop_f, argnums=(0, 1))(f64, w)
+    gf = jax.grad(fused_f, argnums=(0, 1))(f64, w)
+    np.testing.assert_allclose(np.asarray(gl[0]), np.asarray(gf[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gl[1]), np.asarray(gf[1]),
+                               rtol=1e-10, atol=1e-12)
+
+    # and for a transition (asymmetric maps)
+    ckeys = T.downsample_keys(lvl, 2, 2, 256)
+    coarse = T.build_level(ckeys, kernel=3)
+    tr = T.build_transition(lvl, coarse, 2, 2)
+    w2 = jnp.asarray(rng.standard_normal((8, cin, cout)).astype(np.float64))
+
+    def lossT(core):
+        def f(x, ww):
+            return jnp.sum(jnp.sin(core(x, tr.child, tr.up[:, ::-1], ww)))
+        return f
+
+    gl = jax.grad(lossT(conv_ops._gather_conv_core), argnums=(0, 1))(f64, w2)
+    gf = jax.grad(lossT(conv_ops._gather_conv_fused_core),
+                  argnums=(0, 1))(f64, w2)
+    np.testing.assert_allclose(np.asarray(gl[0]), np.asarray(gf[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gl[1]), np.asarray(gf[1]),
+                               rtol=1e-10, atol=1e-12)
