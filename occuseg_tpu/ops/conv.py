@@ -127,9 +127,13 @@ _gather_conv_core.defvjp(_gather_conv_core_fwd, _gather_conv_core_bwd)
 
 
 # Below this many bytes for the materialized [M, K, C] gathered block, use
-# the single-matmul fused path (deep UNet levels): one big gather + one
-# MXU-friendly [M, K*Cin] x [K*Cin, Cout] matmul beats K loop iterations.
-_FUSED_BYTES = 256 * 1024 * 1024
+# the single-matmul fused path: one big gather + one [M, K*Cin] x
+# [K*Cin, Cout] matmul instead of K loop iterations. Measured on v5e: the
+# big gathered temp's extra write+read traffic outweighs the loop overhead
+# it saves (m=64 bench 538ms fused@<=256MB vs 513ms loop-only), so the
+# fused path is DISABLED by default; it remains available for callers with
+# different shape regimes (and as the spatial-sharding conv).
+_FUSED_BYTES = 0
 
 
 def _fused_fwd_impl(feats, nbr, weight):
