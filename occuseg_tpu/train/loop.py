@@ -184,7 +184,21 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                 source = ((b, None) for b in batches)
             else:
                 source = plan_prefetcher(batches, spec)
+            counters = CounterState()
+            planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan in source:
+                if host_plan is not None:
+                    # per-epoch MulAdd/hidden counters, protocol parity with
+                    # the reference's per-epoch printout
+                    # (train_instance.py:459-462)
+                    counters.add(
+                        plan_muladd_count(
+                            host_plan, planes, config.get("block_reps", 1),
+                            config.get("residual_blocks", True),
+                            config["input_feature_number"]),
+                        sum(int(l.num_active) * planes[min(i, len(planes) - 1)]
+                            for i, l in enumerate(host_plan.levels)),
+                        scenes=batch_per_dev)
                 raw = {k: v for k, v in raw.items() if k != "region"}
                 if n_dev > 1:
                     # split one big batch row-wise across devices
