@@ -304,3 +304,18 @@ class MultiscaleShapeContext(nn.Module):
             parts.append(up)
         feats = jnp.concatenate([p.features for p in parts], axis=-1)
         return x.with_features(feats)
+
+
+def sparsify_coords(x: SparseTensor, plan: Topology, cap: int,
+                    threshold: float = 0.0) -> jnp.ndarray:
+    """Coords of sites whose feature norm exceeds `threshold`, padded to
+    `cap` with -1 (reference `sparsify.py`: new Metadata keeping only
+    'active' sites). Feed the result to a new `build_plan` to continue on
+    the sparsified topology."""
+    lvl = plan.levels[x.level]
+    mag = jnp.sum(jnp.abs(x.features.astype(jnp.float32)), axis=-1)
+    keep = (mag > threshold) & (lvl.coords[:, 0] >= 0)
+    (idx,) = jnp.nonzero(keep, size=cap, fill_value=-1)
+    safe = jnp.where(idx < 0, 0, idx)
+    out = lvl.coords[safe]
+    return jnp.where((idx >= 0)[:, None], out, -1)
