@@ -55,7 +55,7 @@ def _gather_conv_fwd_impl(feats: jnp.ndarray, nbr: jnp.ndarray,
     acc = full_varying_like(feats, (nbr.shape[0], weight.shape[2]), 0, acc_t)
     # unroll a little so gather DMA of iteration k+1 can overlap the MXU of
     # iteration k, while still bounding live temps (full unroll OOMed)
-    acc = jax.lax.fori_loop(0, K, body, acc, unroll=9)
+    acc = jax.lax.fori_loop(0, K, body, acc, unroll=3)
     return acc.astype(out_dtype)
 
 
@@ -119,7 +119,7 @@ def _gather_conv_core_bwd(res, ct):
     from occuseg_tpu.core.coords import full_varying_like
     d_feats = full_varying_like(feats, (feats.shape[0], Cin), 0, acc_t)
     d_w = full_varying_like(feats, (K, Cin, Cout), 0, acc_t)
-    d_feats, d_w = jax.lax.fori_loop(0, K, body, (d_feats, d_w), unroll=9)
+    d_feats, d_w = jax.lax.fori_loop(0, K, body, (d_feats, d_w), unroll=3)
     return (d_feats.astype(feats.dtype), None, None, d_w.astype(w_dtype))
 
 
