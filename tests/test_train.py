@@ -103,3 +103,24 @@ def test_dp_matches_mean_of_single_device_grads():
     d_leaf = np.asarray(jax.tree_util.tree_leaves(dstate.params)[3])
     s_leaf = np.asarray(jax.tree_util.tree_leaves(sstate.params)[3])
     np.testing.assert_allclose(d_leaf, s_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_overfits_single_scene():
+    """Full multi-task model fits one synthetic scene: total loss drops
+    ~8x in 60 steps (measured 72.6 -> 9.0; threshold leaves slack)."""
+    spec = PlanSpec(caps=(2048, 2048, 1024, 512))
+    scene = SceneConfig(num_points=1500, extent=48, num_objects=6)
+    b = make_batch(scene, 1, 2048, 16, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    model = LearningBWDenseUNet(n_planes=(16, 32, 48, 64))
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, spec)
+    step = jax.jit(make_train_step(model, spec, num_scenes=1,
+                                   num_instances=16))
+    first = None
+    for i in range(60):
+        state, parts = step(state, batch)
+        if first is None:
+            first = float(parts["total"])
+    last = float(parts["total"])
+    assert np.isfinite(last)
+    assert last < 15.0 and last < first / 3, (first, last)
