@@ -27,7 +27,10 @@ STANFORD_CLASS_LABELS = (
 )
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
 def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray,
                      num_classes: int = 20) -> jnp.ndarray:
     """[C, C] counts over points with gt >= 0 (row = gt, col = pred)."""
