@@ -160,16 +160,18 @@ class ScanNetData:
             region = np.asarray(
                 scene.get("region", np.arange(keep.size)), np.int64)[keep]
 
-            # remap instances to dense local ids (scannet.py:176-181)
-            uniq = np.unique(inst[inst >= 0])
-            remap = {int(u): i for i, u in enumerate(uniq)}
-            local = np.array([remap.get(int(v), -1) for v in inst], np.int64)
+            # remap instances to dense local ids over ALL values — the
+            # reference's np.unique(...)[1] (scannet.py:176-181) gives
+            # background/unlabeled (-100) its own dense id too, so the
+            # discriminative loss pulls background into one cluster
+            _, local = np.unique(inst, return_inverse=True)
+            local = local.astype(np.int64)
 
             pose = a / scale
             offsets = np.zeros((n, 1), np.float32)
             displacements = np.zeros((n, 3), np.float32)
             occupancy = np.zeros((n, 1), np.float32)
-            for k in range(len(uniq)):
+            for k in range(int(local.max()) + 1 if n else 0):
                 msk = local == k
                 mu = a[msk].mean(axis=0)
                 dist = np.linalg.norm(a[msk] - mu, axis=1)

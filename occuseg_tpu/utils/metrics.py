@@ -7,6 +7,7 @@ reporting is NumPy.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -26,8 +27,6 @@ STANFORD_CLASS_LABELS = (
     "chair", "sofa", "bookcase", "board", "clutter",
 )
 
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
