@@ -137,11 +137,16 @@ def prepare_scene(ply_path: str, out_dir: str,
         from occuseg_tpu.data.supervoxel_gen import segment_supervoxels
         region = segment_supervoxels(coords, colors)
 
+    # per-point normals (PCA over voxel neighborhoods) for the 'n' feature
+    # string and normal-guided filters
+    from occuseg_tpu.data.supervoxel_gen import estimate_normals
+    normals = estimate_normals(coords)
+
     os.makedirs(out_dir, exist_ok=True)
     name = os.path.basename(base) + "_instance.npz"
     out = os.path.join(out_dir, name)
     np.savez_compressed(out, coords=coords, colors=colors, labels=labels,
-                        instance_id=instance, region=region)
+                        instance_id=instance, region=region, normals=normals)
     return out
 
 

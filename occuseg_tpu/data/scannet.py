@@ -127,7 +127,9 @@ class ScanNetData:
             - 10 + rng.random(3)
         a = a - offset
         keep = (a.min(1) >= 0) & (a.max(1) < full_scale)
-        return a, keep
+        return a, keep, m / scale  # unit-ish rotation for normals
+                                   # (reference rotates normals by m/scale,
+                                   # scannet.py:108)
 
     def _make_batch(self, scene_ids: Sequence[int], rng: np.random.Generator,
                     training: bool, p_cap: int, i_cap: int,
@@ -145,7 +147,7 @@ class ScanNetData:
         region_base = 0
         for si, sid in enumerate(scene_ids):
             scene = data[sid]
-            a, keep = self._augment_scene(scene, rng, training, val_rep)
+            a, keep, rot = self._augment_scene(scene, rng, training, val_rep)
             a = a[keep]
             n = a.shape[0]
             colors = np.asarray(scene["colors"], np.float32)[keep]
@@ -189,7 +191,7 @@ class ScanNetData:
             region_l = np.array([rmap[int(v)] for v in region], np.int64)
             region_base += len(runiq)
 
-            feats = self._features(a, colors, scene, keep, training)
+            feats = self._features(a, colors, scene, keep, training, rot)
             rows["coords"].append(np.concatenate(
                 [np.full((n, 1), si), np.floor(a[:, [2, 1, 0]])], axis=1
             ).astype(np.int32))  # (b, z, y, x): reference stores xyz; keys
@@ -230,7 +232,8 @@ class ScanNetData:
             "region": pad(cat["region"], -1),
         }
 
-    def _features(self, a, colors, scene, keep, training) -> np.ndarray:
+    def _features(self, a, colors, scene, keep, training,
+                  rot=None) -> np.ndarray:
         cfg = self.config
         f = cfg.get("use_feature", "c")
         feats = []
@@ -244,6 +247,8 @@ class ScanNetData:
             normals = np.asarray(
                 scene.get("normals", np.zeros((keep.size, 3))),
                 np.float32)[keep]
+            if rot is not None:
+                normals = (normals @ rot).astype(np.float32)
             feats.append(normals)
         if "h" in f:
             feats.append(a[:, 2:3].astype(np.float32))
