@@ -213,16 +213,14 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     return loss, miou
 
 
-def _per_instance_cluster_losses(values_err: jnp.ndarray,
-                                 occ: jnp.ndarray,
-                                 instance_id: jnp.ndarray,
-                                 point_scene: jnp.ndarray,
-                                 labels: jnp.ndarray,
-                                 num_scenes: int, num_instances: int,
-                                 cfg: LossConfig):
-    """Shared machinery for displacement / occupancy cluster terms:
-    per-instance mean error (and occ std), restricted to GT class > 1,
-    averaged over instances within a scene then over scenes."""
+def _cluster_losses(disp_err: jnp.ndarray, occ_err: jnp.ndarray,
+                    occ: jnp.ndarray, instance_id: jnp.ndarray,
+                    point_scene: jnp.ndarray, labels: jnp.ndarray,
+                    num_scenes: int, num_instances: int, cfg: LossConfig):
+    """Displacement + occupancy cluster terms in one pass: per-instance mean
+    errors (and the occ prediction std), restricted to GT class > 1,
+    averaged over instances within a scene then over scenes
+    (reference `train_instance.py:217-236`)."""
     I = num_instances
     seg = _sanitize_seg(instance_id, I)
     valid_pt = instance_id >= 0
@@ -230,30 +228,37 @@ def _per_instance_cluster_losses(values_err: jnp.ndarray,
         instance_id, point_scene, labels, I)
     fg = exists & (cls_i >= cfg.foreground_class_threshold)
 
-    err_mean, _ = _seg_mean(jnp.where(valid_pt, values_err, 0)[:, None],
-                            seg, I + 1)
-    err_mean = err_mean[:I, 0]
-    occ_mean, _ = _seg_mean(jnp.where(valid_pt[:, None], occ, 0), seg, I + 1)
+    def inst_mean(v):
+        m, _ = _seg_mean(jnp.where(valid_pt, v, 0)[:, None], seg, I + 1)
+        return m[:I, 0]
+
+    disp_mean = inst_mean(disp_err)
+    occ_err_mean = inst_mean(occ_err)
+    occ_mean = inst_mean(occ[:, 0])
     # centered two-pass variance (E[x^2]-E[x]^2 cancels catastrophically);
     # unbiased, matching torch_scatter scatter_std default
-    centered = occ[:, 0] - occ_mean[jnp.clip(seg, 0, I - 1), 0]
+    centered = occ[:, 0] - occ_mean[jnp.clip(seg, 0, I - 1)]
     sq_sum = _seg_sum(jnp.where(valid_pt, centered * centered, 0), seg, I + 1)
     n = jnp.maximum(count_i, 1.0)
-    var = sq_sum[:I] / jnp.maximum(n - 1, 1)
-    occ_std = jnp.sqrt(jnp.maximum(var, 0) + 1e-12)
+    occ_std = jnp.sqrt(jnp.maximum(sq_sum[:I] / jnp.maximum(n - 1, 1), 0)
+                       + 1e-12)
 
     iscene_fg = jnp.where(fg, scene_i, num_scenes)
-    n_fg = _seg_sum(fg.astype(jnp.float32), iscene_fg, num_scenes + 1)[:num_scenes]
-    scene_sum = lambda v: _seg_sum(jnp.where(fg, v, 0), iscene_fg,
-                                   num_scenes + 1)[:num_scenes]
-    per_scene = lambda v: jnp.sum(
-        jnp.where(n_fg > 0, scene_sum(v) / jnp.maximum(n_fg, 1), 0))
+    n_fg = _seg_sum(fg.astype(jnp.float32), iscene_fg,
+                    num_scenes + 1)[:num_scenes]
+
+    def per_scene(v):
+        s = _seg_sum(jnp.where(fg, v, 0), iscene_fg,
+                     num_scenes + 1)[:num_scenes]
+        return jnp.sum(jnp.where(n_fg > 0, s / jnp.maximum(n_fg, 1), 0))
+
     scene_has = _seg_sum(exists.astype(jnp.float32),
                          jnp.where(exists, scene_i, num_scenes),
                          num_scenes + 1)[:num_scenes] > 0
     n_scenes = jnp.maximum(jnp.sum(scene_has.astype(jnp.float32)), 1.0)
-    return per_scene(err_mean) / n_scenes, per_scene(occ_std) / n_scenes, (
-        per_scene, n_scenes)
+    displacement = per_scene(disp_mean) / n_scenes
+    occupancy = (per_scene(occ_err_mean) + per_scene(occ_std)) / n_scenes
+    return displacement, occupancy
 
 
 def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
@@ -288,13 +293,9 @@ def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
         axis=1)
     occ_err = _safe_norm(
         outputs.occupancy.astype(jnp.float32) - batch["occupancy"], axis=1)
-    displacement, _, helpers = _per_instance_cluster_losses(
-        disp_err, outputs.occupancy.astype(jnp.float32), iid, pscene, labels,
-        num_scenes, num_instances, cfg)
-    occ_mean_term, occ_std_term, _ = _per_instance_cluster_losses(
-        occ_err, outputs.occupancy.astype(jnp.float32), iid, pscene, labels,
-        num_scenes, num_instances, cfg)
-    occupancy = occ_mean_term + occ_std_term
+    displacement, occupancy = _cluster_losses(
+        disp_err, occ_err, outputs.occupancy.astype(jnp.float32), iid,
+        pscene, labels, num_scenes, num_instances, cfg)
 
     regressed_pose = batch["pose"] - outputs.displacement.astype(jnp.float32)
     classification, miou = classification_loss(
