@@ -143,3 +143,21 @@ def test_scannet_dataset_collate(tmp_path):
         assert np.allclose(occ, occ[0])
     vb = list(ds.val_batches(p_cap=4096, i_cap=16, batch_size=2))
     assert len(vb) == 1
+
+
+def test_s3dis_room_prep(tmp_path):
+    from occuseg_tpu.data.s3dis import prepare_room
+
+    rng = np.random.default_rng(7)
+    ann = tmp_path / "office_1" / "Annotations"
+    os.makedirs(ann)
+    for name, n in [("chair_1", 120), ("table_1", 150), ("clutter_3", 80)]:
+        data = np.concatenate(
+            [rng.uniform(0, 4, (n, 3)),
+             rng.integers(0, 255, (n, 3))], axis=1)
+        np.savetxt(ann / f"{name}.txt", data, fmt="%.3f")
+    out = prepare_room(str(tmp_path / "office_1"), str(tmp_path / "out"))
+    z = np.load(out)
+    assert z["coords"].shape == (350, 3)
+    assert set(np.unique(z["instance_id"])) == {0, 1, 2}
+    assert z["labels"].min() >= 0 and z["region"].min() >= 0

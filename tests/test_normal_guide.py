@@ -88,3 +88,29 @@ def test_plan_with_normals():
     for lvl in plan.levels:
         o = np.asarray(lvl.orient)
         assert set(np.unique(o)).issubset({0, 2, 4})
+
+
+def test_normal_guided_model_forward():
+    """SubmanifoldConvolution(normal_guided=True) through a plan built with
+    point normals."""
+    import flax.linen as nn
+    from occuseg_tpu.core.sparse_tensor import SparseTensor
+    from occuseg_tpu.nn.modules import SubmanifoldConvolution
+
+    rng = np.random.default_rng(9)
+    pts = random_points(rng, 300, extent=16, batch_size=2, pad_to=512)
+    normals = rng.standard_normal((512, 3)).astype(np.float32)
+    spec = T.PlanSpec(caps=(512, 256))
+    plan = T.build_plan(jnp.asarray(pts), spec, jnp.asarray(normals))
+    x = SparseTensor(
+        features=jnp.asarray(rng.standard_normal((512, 3)).astype(np.float32)),
+        num_active=plan.levels[0].num_active, level=0)
+    m = SubmanifoldConvolution(8, normal_guided=True)
+    v = m.init(jax.random.PRNGKey(0), x, plan, False)
+    out = m.apply(v, x, plan, False)
+    assert np.isfinite(np.asarray(out.features)).all()
+    # differs from the unguided conv with the same weights (orientations mix)
+    m2 = SubmanifoldConvolution(8, normal_guided=False)
+    out2 = m2.apply(v, x, plan, False)
+    assert not np.allclose(np.asarray(out.features),
+                           np.asarray(out2.features))
