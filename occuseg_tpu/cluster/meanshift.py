@@ -55,7 +55,6 @@ def meanshift_cluster(regions: RegionFeatures,
     background = regions.valid & (
         regions.semantic >= foreground_class_threshold)
     offsets = jnp.where(background, regions.offset, 0.0)
-    labels0 = jnp.where(regions.valid & ~background, -1, -1)
     labels0 = jnp.full((R,), -1, jnp.int32)
 
     def one_instance(state):

@@ -2,10 +2,11 @@
 
 Replaces the reference training loop internals (`train_instance.py:345-485`):
 Adam (lr 1e-3) with stepwise gamma decay (`:475-482`), full fwd/bwd over the
-multi-task model, loss assembly via `losses.instance`. The whole step — plan
-building included — is one jitted function: the reference's lazy host-side
-rulebook caching (`Metadata.cpp:503-530`) becomes part of the compiled
-program.
+multi-task model, loss assembly via `losses.instance`. The step is one
+jitted function that either takes a precomputed topology plan (the fast
+path: built by the C++ host runtime in the loader, `native/plan.py`) or
+builds it in-jit — either way the reference's lazy host-side rulebook
+caching (`Metadata.cpp:503-530`) is replaced by explicit plan data.
 """
 
 from __future__ import annotations
