@@ -177,11 +177,18 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             agg: Dict[str, float] = {}
             nb = 0
             counters = CounterState()
-            batches = dataset.train_batches(
-                rng, p_cap, i_cap,
-                batch_per_dev * n_dev if n_dev > 1 else batch_per_dev)
+            batches = dataset.train_batches(rng, p_cap, i_cap, batch_per_dev)
             if n_dev > 1:
-                source = ((b, None) for b in batches)
+                # group n_dev consecutive per-device batches (each a whole
+                # set of scenes — never split a scene's rows across chips)
+                def grouped(it):
+                    group = []
+                    for b in it:
+                        group.append(b)
+                        if len(group) == n_dev:
+                            yield group, None
+                            group = []
+                source = grouped(batches)
             else:
                 source = plan_prefetcher(batches, spec)
             counters = CounterState()
@@ -199,14 +206,15 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                         sum(int(l.num_active) * planes[min(i, len(planes) - 1)]
                             for i, l in enumerate(host_plan.levels)),
                         scenes=batch_per_dev)
-                raw = {k: v for k, v in raw.items() if k != "region"}
                 if n_dev > 1:
-                    # split one big batch row-wise across devices
-                    stacked = {k: np.stack(np.array_split(v, n_dev))
-                               for k, v in raw.items()}
+                    group = [{k: v for k, v in b.items() if k != "region"}
+                             for b in raw]
+                    stacked = {k: np.stack([b[k] for b in group])
+                               for k in group[0]}
                     batch = shard_batch(stacked, mesh)
                     state, parts = step_fn(state, batch)
                 else:
+                    raw = {k: v for k, v in raw.items() if k != "region"}
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}
                     plan = (jax.tree.map(jnp.asarray, host_plan)
                             if host_plan is not None else None)

@@ -23,3 +23,20 @@ def test_train_loop_synthetic(tmp_path):
     metrics = evaluate_semantic(config, result["state"], result["model"],
                                 result["spec"])
     assert 0.0 <= metrics["mean_iou"] <= 1.0
+
+
+def test_train_loop_dp_8_devices(tmp_path):
+    """Train loop's DP branch: whole per-device batches stacked (never
+    splitting a scene's rows), one step on the 8-device CPU mesh."""
+    args = get_parser().parse_args([
+        "--m", "8", "--batch_size", "8", "--scale", "50",
+        "--residual_blocks", "--use_dense_model", "--max_epoch", "1",
+        "--point_cap", "2048", "--voxel_cap", "2048",
+        "--instance_cap", "8", "--num_devices", "8",
+        "--checkpoints_dir", str(tmp_path),
+        "--data_dir", str(tmp_path / "nodata"),
+    ])
+    config = args_to_config(args)
+    config["unet_structure"] = [8, 16, 24]
+    result = train(config, max_steps=1)
+    assert result["steps"] == 1
