@@ -78,11 +78,23 @@ def main() -> None:
         all_props.append(props)
         all_gts.append(gts)
 
+    stats = {}
     for thr in (0.25, 0.5):
         res = instance_precision_recall(all_props, all_gts,
                                         iou_threshold=thr)
         logging.info("mAP@%.2f: %.4f  mRecall@%.2f: %.4f", thr, res["mAP"],
                      thr, res["mRecall"])
+        stats[f"precision_{int(thr*100)}"] = res["precision_per_class"]
+        stats[f"recall_{int(thr*100)}"] = res["recall_per_class"]
+
+    # instance statistics export (reference writes instance_stat.mat,
+    # evaluate_instance.py:1548-1552, :1699)
+    try:
+        import scipy.io
+        scipy.io.savemat("instance_stat.mat", {"stats": stats})
+        logging.info("wrote instance_stat.mat")
+    except Exception as e:
+        logging.warning("could not write instance_stat.mat: %s", e)
 
 
 if __name__ == "__main__":
