@@ -270,3 +270,42 @@ def Identity_():
 
 Dropout_ = Dropout
 BatchwiseDropout = BatchwiseDropout
+
+
+class SparseToDense(nn.Module):
+    """Module wrapper over extras.sparse_to_dense (reference
+    `sparseToDense.py`)."""
+
+    dimension: int = 3
+    nPlanes: int = 0
+    spatial_size: int = 64
+    batch_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, plan, train: bool = False):
+        from occuseg_tpu.nn.extras import sparse_to_dense
+        return sparse_to_dense(x, plan, self.spatial_size, self.batch_size)
+
+
+def DenseToSparse(dimension=3, cap: int = 65536):
+    """Returns a function dense_mask -> padded active coords (reference
+    `denseToSparse.py`); feed the coords to build_plan to continue sparse."""
+    _check3(dimension)
+    from occuseg_tpu.nn.extras import dense_to_sparse_coords
+
+    def convert(dense_mask):
+        return dense_to_sparse_coords(dense_mask, cap)
+
+    return convert
+
+
+def Sparsify(dimension=3, cap: int = 65536, threshold: float = 0.0):
+    """Returns a function (x, plan) -> padded coords of surviving sites
+    (reference `sparsify.py`); replan with build_plan afterwards."""
+    _check3(dimension)
+    from occuseg_tpu.nn.extras import sparsify_coords
+
+    def convert(x, plan):
+        return sparsify_coords(x, plan, cap, threshold)
+
+    return convert
