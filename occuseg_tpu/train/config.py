@@ -61,6 +61,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="static per-device instance budget")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
+    p.add_argument("--num_buckets", type=int, default=1,
+                   help=">1 enables bucketed static shapes (one jitted "
+                        "step per cap bucket; cuts padding waste)")
     return p
 
 
@@ -76,7 +79,7 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "use_normal", "use_elastic", "use_feature", "use_dense_model",
               "regress_sigma", "regress_weight", "displacement_weight",
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
-              "instance_cap", "num_devices", "load"):
+              "instance_cap", "num_devices", "num_buckets", "load"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]

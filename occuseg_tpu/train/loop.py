@@ -94,12 +94,15 @@ def get_dataset(config: Dict):
     return ds
 
 
-def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2
-                    ) -> Iterator[Tuple[Dict, Optional[object]]]:
-    """Yield (batch, host_plan) with the C++ plan built one batch ahead in a
-    worker thread — the loader-side analog of the reference's DataLoader
-    workers overlapping rulebook prep with GPU compute. host_plan is None
-    when the native library is unavailable (step builds it in-jit)."""
+def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
+                    bucket_specs_list=None
+                    ) -> Iterator[Tuple[Dict, Optional[object], int]]:
+    """Yield (batch, host_plan, bucket_index) with the C++ plan built one
+    batch ahead in a worker thread — the loader-side analog of the
+    reference's DataLoader workers overlapping rulebook prep with GPU
+    compute. host_plan is None when the native library is unavailable (step
+    builds it in-jit). With `bucket_specs_list`, each batch gets the
+    smallest cap bucket that fits (train/bucketing.py)."""
     from occuseg_tpu.native.plan import build_plan_host
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -108,8 +111,12 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2
     def worker():
         try:
             for b in batches:
-                plan = build_plan_host(b["coords"], spec)
-                q.put((b, plan))
+                if bucket_specs_list is not None:
+                    from occuseg_tpu.train.bucketing import plan_for_batch
+                    bi, plan = plan_for_batch(bucket_specs_list, b["coords"])
+                else:
+                    bi, plan = 0, build_plan_host(b["coords"], spec)
+                q.put((b, plan, bi))
         finally:
             q.put(DONE)
 
@@ -148,6 +155,16 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec,
                                tcfg)
 
+    # cap buckets: one jitted step per bucket (params/opt state shared —
+    # they do not depend on the caps)
+    num_buckets = int(config.get("num_buckets", 1))
+    buckets = None
+    if num_buckets > 1 and n_dev == 1:
+        from occuseg_tpu.train.bucketing import bucket_specs
+        buckets = bucket_specs(config["voxel_cap"],
+                               len(config["unet_structure"]), num_buckets,
+                               kernel=config.get("kernel_size", 3))
+
     mesh = None
     if n_dev > 1:
         mesh = make_mesh(n_dev)
@@ -155,10 +172,18 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                                      num_scenes=batch_per_dev,
                                      num_instances=i_cap)
         state = replicate_state(state, mesh)
+        step_fns = None
     else:
-        step_fn = jax.jit(make_train_step(model, spec, tcfg, lcfg,
-                                          num_scenes=batch_per_dev,
-                                          num_instances=i_cap))
+        def make_fn(s):
+            return jax.jit(make_train_step(model, s, tcfg, lcfg,
+                                           num_scenes=batch_per_dev,
+                                           num_instances=i_cap))
+        if buckets is not None:
+            step_fns = [make_fn(s) for s in buckets]
+            step_fn = step_fns[-1]
+        else:
+            step_fn = make_fn(spec)
+            step_fns = [step_fn]
 
     ckpt_dir = os.path.join(config["checkpoints_dir"],
                             config.get("taskname", "default"))
@@ -186,14 +211,15 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     for b in it:
                         group.append(b)
                         if len(group) == n_dev:
-                            yield group, None
+                            yield group, None, 0
                             group = []
                 source = grouped(batches)
             else:
-                source = plan_prefetcher(batches, spec)
+                source = plan_prefetcher(batches, spec,
+                                         bucket_specs_list=buckets)
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
-            for raw, host_plan in source:
+            for raw, host_plan, bucket_i in source:
                 if host_plan is not None:
                     # per-epoch MulAdd/hidden counters, protocol parity with
                     # the reference's per-epoch printout
@@ -218,7 +244,9 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}
                     plan = (jax.tree.map(jnp.asarray, host_plan)
                             if host_plan is not None else None)
-                    state, parts = step_fn(state, batch, plan)
+                    fn = step_fns[bucket_i] if host_plan is not None \
+                        else step_fns[-1]
+                    state, parts = fn(state, batch, plan)
                 for k, v in parts.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
                 nb += 1
