@@ -61,6 +61,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="static per-device instance budget")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: N single-scene steps per "
+                        "optimizer update (the TPU-native equivalent of "
+                        "the reference's batch N)")
     p.add_argument("--num_buckets", type=int, default=1,
                    help=">1 enables bucketed static shapes (one jitted "
                         "step per cap bucket; cuts padding waste)")
@@ -79,7 +83,8 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "use_normal", "use_elastic", "use_feature", "use_dense_model",
               "regress_sigma", "regress_weight", "displacement_weight",
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
-              "instance_cap", "num_devices", "num_buckets", "load"):
+              "instance_cap", "num_devices", "num_buckets", "accum_steps",
+              "load"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]

@@ -145,6 +145,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         lr_decay_gamma=config["gamma"] if config["gamma"] > 0 else 1e-2,
         lr_decay_steps=config.get("step_size", 60000),
         optimizer=config.get("optim", "Adam").lower(),
+        accum_steps=int(config.get("accum_steps", 1)),
     )
     lcfg = LossConfig(regress_weight=config.get("regress_weight", 100.0))
 

@@ -43,6 +43,12 @@ class TrainConfig:
     optimizer: str = "adam"
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    # Gradient accumulation: the reference trains batch 5; on TPU,
+    # multi-scene gathers in one step collapse HBM bandwidth (CLAUDE.md), so
+    # the equivalent is N sequential single-scene steps with accumulated
+    # gradients (optax.MultiSteps) — mathematically the same mean-gradient
+    # update at full per-scene speed.
+    accum_steps: int = 1
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -50,14 +56,18 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         init_value=cfg.lr, transition_steps=cfg.lr_decay_steps,
         decay_rate=cfg.lr_decay_gamma, staircase=True)
     if cfg.optimizer == "adam":
-        return optax.adam(schedule)
-    if cfg.optimizer == "sgd":
+        tx = optax.adam(schedule)
+    elif cfg.optimizer == "sgd":
         # reference SGD branch (`train_instance.py` config['optim']=='SGD')
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(schedule, momentum=cfg.momentum),
         )
-    raise ValueError(cfg.optimizer)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 def create_train_state(model, rng, sample_batch: Dict[str, jnp.ndarray],

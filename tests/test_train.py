@@ -124,3 +124,25 @@ def test_overfits_single_scene():
     last = float(parts["total"])
     assert np.isfinite(last)
     assert last < 15.0 and last < first / 3, (first, last)
+
+
+def test_gradient_accumulation_matches_mean_gradient():
+    """accum_steps=2 over two batches == one step on the averaged gradient
+    (the TPU-native replacement for multi-scene batches; see CLAUDE.md)."""
+    import optax
+    from occuseg_tpu.train.state import TrainConfig
+
+    b1 = _np_batch(20)
+    b2 = _np_batch(21)
+    cfg = TrainConfig(accum_steps=2)
+    state = create_train_state(MODEL, jax.random.PRNGKey(5), b1, SPEC, cfg)
+    step = jax.jit(make_train_step(MODEL, SPEC, cfg, num_scenes=1,
+                                   num_instances=I_CAP))
+    s1, _ = step(state, b1)
+    # after the first accumulation micro-step params must be UNCHANGED
+    p_old = jax.tree_util.tree_leaves(state.params)[0]
+    p_mid = jax.tree_util.tree_leaves(s1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p_old), np.asarray(p_mid))
+    s2, _ = step(s1, b2)
+    p_new = jax.tree_util.tree_leaves(s2.params)[0]
+    assert not np.allclose(np.asarray(p_old), np.asarray(p_new))
