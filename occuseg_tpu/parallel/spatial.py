@@ -35,84 +35,46 @@ class ShardedLevel:
     """Per-shard arrays, all with leading shard axis D (host-built).
 
     nbr_local values index the extended feature array
-    [0, S) local | [S, S+H) left halo | [S+H, S+2H) right halo; -1 missing.
+    [0, S) local | [S, S+H) left halo | [S+H, S+2H) right halo |
+    [S+2H, S+2H+D*P) global pool; -1 missing.
     send_left/send_right list local rows each shard ships to its neighbors
     (padded with -1; receivers see them as their right/left halo).
+    publish lists local rows each shard contributes to the all-gathered
+    global pool — the few refs that cross Morton octant discontinuities and
+    land farther than one shard away.
     """
 
     nbr_local: np.ndarray    # [D, S, K] int32
     send_left: np.ndarray    # [D, H] int32 rows sent to shard d-1
     send_right: np.ndarray   # [D, H] int32 rows sent to shard d+1
+    publish: np.ndarray      # [D, P] int32 rows all-gathered into the pool
     shard_rows: np.ndarray   # [D, S] int32 global row of each local slot
     num_shards: int = 0
     halo: int = 0
+    pool: int = 0
 
 
 def shard_level(nbr: np.ndarray, num_active: int, num_shards: int,
-                halo: int) -> ShardedLevel:
-    """Host-side shard planner for one level's neighbor map.
-
-    Splits rows [0, cap) into D contiguous chunks of S = cap/D. For each
-    shard, neighbor entries pointing into the previous/next shard are
-    remapped into halo slots; entries farther than one shard away or beyond
-    the halo budget are dropped (counted; enlarge `halo` if nonzero —
-    Morton order keeps p99 spans small, see CLAUDE.md).
-    """
+                halo: int, pool: int = 0):
+    """Host-side shard planner for one level's neighbor map: contiguous
+    row chunks, ±1-shard halos, global pool for far refs (see
+    `_shard_ref_map`). Returns (ShardedLevel, dropped_ref_count)."""
     cap, K = nbr.shape
-    assert cap % num_shards == 0
+    out, send_left, send_right, publish, dropped = _shard_ref_map(
+        nbr, cap, cap, num_shards, halo, pool)
     S = cap // num_shards
-    nbr_local = np.full((num_shards, S, K), -1, np.int32)
-    send_left = np.full((num_shards, halo), -1, np.int32)
-    send_right = np.full((num_shards, halo), -1, np.int32)
     shard_rows = np.stack([np.arange(S) + d * S
                            for d in range(num_shards)]).astype(np.int32)
-    dropped = 0
-    for d in range(num_shards):
-        lo, hi = d * S, (d + 1) * S
-        blk = nbr[lo:hi]
-        # left halo: rows this shard needs from shard d-1
-        left_need = np.unique(blk[(blk >= 0) & (blk < lo)])
-        left_need = left_need[left_need >= lo - S]  # only adjacent shard
-        right_need = np.unique(blk[blk >= hi])
-        right_need = right_need[right_need < hi + S]
-        if left_need.size > halo or right_need.size > halo:
-            # keep the rows closest to the boundary
-            left_keep = left_need[-halo:] if left_need.size > halo \
-                else left_need
-            right_keep = right_need[:halo] if right_need.size > halo \
-                else right_need
-        else:
-            left_keep, right_keep = left_need, right_need
-        lmap = {int(r): S + i for i, r in enumerate(left_keep)}
-        rmap = {int(r): S + halo + i for i, r in enumerate(right_keep)}
-        if d > 0:
-            send_right[d - 1, :left_keep.size] = left_keep - (lo - S)
-        if d + 1 < num_shards:
-            send_left[d + 1, :right_keep.size] = right_keep - hi
-        out = np.full((S, K), -1, np.int32)
-        for s in range(S):
-            for k in range(K):
-                g = blk[s, k]
-                if g < 0:
-                    continue
-                if lo <= g < hi:
-                    out[s, k] = g - lo
-                elif g in lmap:
-                    out[s, k] = lmap[g]
-                elif g in rmap:
-                    out[s, k] = rmap[g]
-                else:
-                    dropped += 1
-        nbr_local[d] = out
     if dropped:
         import logging
         logging.getLogger("occuseg_tpu").warning(
-            "spatial sharding dropped %d neighbor refs (halo=%d too small "
-            "or refs beyond +-1 shard) — increase halo or use fewer shards",
-            dropped, halo)
-    sh = ShardedLevel(nbr_local=nbr_local, send_left=send_left,
-                      send_right=send_right, shard_rows=shard_rows,
-                      num_shards=num_shards, halo=halo)
+            "spatial sharding dropped %d neighbor refs (halo=%d/pool=%d "
+            "too small) — increase halo/pool or use fewer shards",
+            dropped, halo, pool)
+    sh = ShardedLevel(nbr_local=out, send_left=send_left,
+                      send_right=send_right, publish=publish,
+                      shard_rows=shard_rows, num_shards=num_shards,
+                      halo=halo, pool=pool)
     return sh, dropped
 
 
@@ -134,6 +96,22 @@ def halo_exchange(feats: jnp.ndarray, send_left: jnp.ndarray,
     return jnp.concatenate([feats, left_halo, right_halo], axis=0)
 
 
+def extend_features(feats: jnp.ndarray, send_left: jnp.ndarray,
+                    send_right: jnp.ndarray, publish: jnp.ndarray,
+                    halo: int, axis_name: str = SPACE_AXIS) -> jnp.ndarray:
+    """Inside shard_map: build the full extended feature array
+    [local S | left halo H | right halo H | global pool D*P] a sharded
+    ref map (`_shard_ref_map`) indexes into. Halos ride ppermute (ICI
+    neighbor hops); the pool is one small all_gather."""
+    ext = halo_exchange(feats, send_left, send_right, halo, axis_name)
+    if publish.shape[0] == 0:
+        return ext
+    safe = jnp.where(publish < 0, 0, publish)
+    pack = jnp.where((publish >= 0)[:, None], feats[safe], 0)
+    pooled = jax.lax.all_gather(pack, axis_name)  # [D, P, C]
+    return jnp.concatenate([ext, pooled.reshape(-1, feats.shape[-1])], 0)
+
+
 def sharded_gather_conv(feats: jnp.ndarray, sharded: "jnp.ndarray tuple",
                         weight: jnp.ndarray,
                         axis_name: str = SPACE_AXIS) -> jnp.ndarray:
@@ -141,6 +119,185 @@ def sharded_gather_conv(feats: jnp.ndarray, sharded: "jnp.ndarray tuple",
     shard_map with per-shard slices of a ShardedLevel)."""
     from occuseg_tpu.ops.conv import gather_conv_fused
 
-    nbr_local, send_left, send_right, halo = sharded
-    ext = halo_exchange(feats, send_left, send_right, halo, axis_name)
+    nbr_local, send_left, send_right, publish, halo = sharded
+    ext = extend_features(feats, send_left, send_right, publish, halo,
+                          axis_name)
     return gather_conv_fused(ext, nbr_local, weight)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedPlan:
+    """Host-built sharded topology for a full UNet forward.
+
+    Rows at every level are first relaid out into an ACTIVE-BALANCED
+    layout: the level's active rows (Morton-sorted, so spatially ordered)
+    are split into D equal-count chunks, each packed at the front of its
+    shard's cap/D slot range. Equal COUNT quantiles of the same Morton
+    order line up spatially across levels (equal cap-fraction splits do
+    not — actives are prefix-packed, so a coarse level's actives would all
+    land in the first shards). `layouts[l] = (new_to_old, old_to_new)`
+    permutations let callers move features into/out of the sharded layout.
+
+    Per level: nbr_local/send maps (as ShardedLevel); per transition:
+    child/up remapped the same way (values reference the OTHER level's
+    [local | halos] space). All arrays carry a leading shard axis D.
+    """
+
+    levels: tuple          # of ShardedLevel
+    transitions: tuple     # of dict(child=..., up=..., halos for each side)
+    layouts: tuple = ()    # per level (new_to_old [cap], old_to_new [cap])
+    num_shards: int = 0
+    halo: int = 0
+    dropped: int = 0
+
+
+def _active_balanced_layout(cap: int, n_active: int, num_shards: int):
+    """Row permutation splitting `n_active` prefix-packed rows into D
+    equal-count chunks, chunk d packed at slots [d*S, d*S+len) of S=cap/D.
+    Returns (new_to_old [cap] gather order, old_to_new [cap] inverse)."""
+    S = cap // num_shards
+    new_to_old = np.full(cap, -1, np.int64)
+    for d, chunk in enumerate(np.array_split(np.arange(n_active),
+                                             num_shards)):
+        assert chunk.size <= S, "active rows overflow shard slots"
+        new_to_old[d * S:d * S + chunk.size] = chunk
+    pads = iter(range(n_active, cap))
+    for i in np.where(new_to_old < 0)[0]:
+        new_to_old[i] = next(pads)
+    old_to_new = np.empty(cap, np.int64)
+    old_to_new[new_to_old] = np.arange(cap)
+    return new_to_old, old_to_new
+
+
+def _relay_map(map_arr: np.ndarray, dst_layout, src_layout) -> np.ndarray:
+    """Reorder a ref map's rows into the dst level's balanced layout and
+    remap its values through the src level's old->new permutation."""
+    new_to_old_dst = dst_layout[0]
+    old_to_new_src = src_layout[1]
+    rows = map_arr[new_to_old_dst]
+    return np.where(rows >= 0, old_to_new_src[np.maximum(rows, 0)],
+                    -1).astype(np.int32)
+
+
+def _shard_ref_map(map_arr: np.ndarray, dst_cap: int, src_cap: int,
+                   num_shards: int, halo: int, pool: int = 0):
+    """Shard a reference map whose ROWS live on the dst level and whose
+    VALUES reference src-level rows.
+
+    Refs into the ±1 adjacent shard ride the halo (ppermute); refs farther
+    away — the small tail where the Morton curve jumps across an octant
+    plane — plus any halo overflow go through a global pool of up to P rows
+    per shard, all-gathered once per layer. Returns (local maps
+    [D, Sdst, K] indexing [local | left halo | right halo | D*P pool],
+    send_left/right [D, H], publish [D, P], dropped)."""
+    D = num_shards
+    Sdst, Ssrc = dst_cap // D, src_cap // D
+    K = map_arr.shape[1]
+    # pass 1: per-shard halo needs + far (pool) needs
+    left_needs, right_needs, far_needs = [], [], []
+    for d in range(D):
+        rows = map_arr[d * Sdst:(d + 1) * Sdst]
+        lo, hi = d * Ssrc, (d + 1) * Ssrc
+        ref = np.unique(rows[rows >= 0])
+        left = ref[(ref >= lo - Ssrc) & (ref < lo)]
+        right = ref[(ref >= hi) & (ref < hi + Ssrc)]
+        far = ref[(ref < lo - Ssrc) | (ref >= hi + Ssrc)]
+        if left.size > halo:  # keep rows closest to the boundary; spill
+            far = np.union1d(far, left[:-halo])
+            left = left[-halo:]
+        if right.size > halo:
+            far = np.union1d(far, right[halo:])
+            right = right[:halo]
+        left_needs.append(left)
+        right_needs.append(right)
+        far_needs.append(far)
+    # pass 2: publish sets — owner o contributes every row any shard needs
+    # through the pool; positions are global (same on every shard)
+    publish = np.full((D, pool), -1, np.int32)
+    pool_pos: dict = {}
+    dropped = 0
+    all_far = (np.unique(np.concatenate(far_needs)) if far_needs
+               else np.empty(0, np.int64))
+    for o in range(D):
+        mine = all_far[(all_far >= o * Ssrc) & (all_far < (o + 1) * Ssrc)]
+        mine = mine[:pool]  # overflow refs counted as dropped in pass 3
+        publish[o, :mine.size] = mine - o * Ssrc
+        for i, r in enumerate(mine):
+            pool_pos[int(r)] = o * pool + i
+    # pass 3: remap
+    base_pool = Ssrc + 2 * halo
+    out = np.full((D, Sdst, K), -1, np.int32)
+    send_left = np.full((D, halo), -1, np.int32)
+    send_right = np.full((D, halo), -1, np.int32)
+    for d in range(D):
+        rows = map_arr[d * Sdst:(d + 1) * Sdst]
+        lo, hi = d * Ssrc, (d + 1) * Ssrc
+        left, right = left_needs[d], right_needs[d]
+        lmap = {int(r): Ssrc + i for i, r in enumerate(left)}
+        rmap = {int(r): Ssrc + halo + i for i, r in enumerate(right)}
+        if d > 0:
+            send_right[d - 1, :left.size] = left - (lo - Ssrc)
+        if d + 1 < D:
+            send_left[d + 1, :right.size] = right - hi
+        blk = np.full((Sdst, K), -1, np.int32)
+        inside = (rows >= lo) & (rows < hi)
+        blk[inside] = rows[inside] - lo
+        for s, k in zip(*np.where((rows >= 0) & ~inside)):
+            g = int(rows[s, k])
+            if g in lmap:
+                blk[s, k] = lmap[g]
+            elif g in rmap:
+                blk[s, k] = rmap[g]
+            elif g in pool_pos:
+                blk[s, k] = base_pool + pool_pos[g]
+            else:
+                dropped += 1
+        out[d] = blk
+    return out, send_left, send_right, publish, dropped
+
+
+def shard_plan(plan, num_shards: int, halo: int,
+               pool: int = 0) -> ShardedPlan:
+    """Shard a host-built Topology (native/plan.py) for a full sharded
+    forward. Every level is relaid into the active-balanced layout (see
+    ShardedPlan) so levels align spatially shard-for-shard; refs beyond
+    +-1 shard go through the `pool`-row-per-shard all-gather pool. Any
+    refs beyond both budgets are dropped and counted (enlarge halo/pool
+    or reduce D if nonzero)."""
+    layouts = []
+    for lvl in plan.levels:
+        cap = np.asarray(lvl.nbr).shape[0]
+        layouts.append(_active_balanced_layout(cap, int(lvl.num_active),
+                                               num_shards))
+    levels = []
+    dropped = 0
+    for li, lvl in enumerate(plan.levels):
+        nbr = _relay_map(np.asarray(lvl.nbr), layouts[li], layouts[li])
+        sh, d = shard_level(nbr, int(lvl.num_active), num_shards, halo,
+                            pool)
+        levels.append(sh)
+        dropped += d
+    transitions = []
+    for ti, tr in enumerate(plan.transitions):
+        fine_cap = np.asarray(plan.levels[ti].nbr).shape[0]
+        coarse_cap = np.asarray(plan.levels[ti + 1].nbr).shape[0]
+        child = _relay_map(np.asarray(tr.child), layouts[ti + 1],
+                           layouts[ti])
+        up = _relay_map(np.asarray(tr.up), layouts[ti], layouts[ti + 1])
+        child, c_sl, c_sr, c_pub, d1 = _shard_ref_map(
+            child, coarse_cap, fine_cap, num_shards, halo, pool)
+        up, u_sl, u_sr, u_pub, d2 = _shard_ref_map(
+            up, fine_cap, coarse_cap, num_shards, halo, pool)
+        dropped += d1 + d2
+        transitions.append(dict(child=child, child_send_left=c_sl,
+                                child_send_right=c_sr, child_publish=c_pub,
+                                up=up, up_send_left=u_sl,
+                                up_send_right=u_sr, up_publish=u_pub))
+    if dropped:
+        import logging
+        logging.getLogger("occuseg_tpu").warning(
+            "shard_plan dropped %d refs (halo=%d, pool=%d, D=%d)", dropped,
+            halo, pool, num_shards)
+    return ShardedPlan(levels=tuple(levels), transitions=tuple(transitions),
+                       layouts=tuple(layouts), num_shards=num_shards,
+                       halo=halo, dropped=dropped)
