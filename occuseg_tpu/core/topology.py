@@ -100,24 +100,69 @@ class Topology:
         ).any()
 
 
+def _chebyshev_shells(max_radius: int) -> np.ndarray:
+    """All integer offsets with Chebyshev norm <= max_radius, ordered by
+    radius then lexicographically ((0,0,0) first)."""
+    deltas = []
+    for r in range(max_radius + 1):
+        for i in range(-r, r + 1):
+            for j in range(-r, r + 1):
+                for k in range(-r, r + 1):
+                    if max(abs(i), abs(j), abs(k)) == r:
+                        deltas.append((i, j, k))
+    return np.asarray(deltas, np.int32)
+
+
 def build_level(keys: jnp.ndarray, kernel: int = 3, dilation: int = 1,
-                orient: jnp.ndarray = None) -> LevelTopology:
+                orient: jnp.ndarray = None,
+                nn_search: bool = False,
+                offsets: np.ndarray = None) -> LevelTopology:
     """LevelTopology from sorted unique padded keys.
 
     All K^3 neighbor lookups are batched into ONE searchsorted call — many
     small sequential binary searches dominated plan time (~9s for the m=64
-    plan) because each ran ~18 dependent mini-kernels."""
+    plan) because each ran ~18 dependent mini-kernels.
+
+    `nn_search` (dilation > 1 only) implements the INTENT of the
+    reference's dilated nearest-neighbor rulebook
+    (`SubmanifoldConvolutionRules.h:38-150`): a dilated offset with no
+    active site falls back to the nearest active site within Chebyshev
+    radius floor(dilation/2), closest shell first. (The reference's
+    `NearestNeighborSearch` loop probes the unmodified point on every
+    shell iteration — a bug that degenerates it to the exact lookup; this
+    implements the search it describes.)"""
     coords = C.unpack(keys)
     num_active = jnp.sum((keys < C.KEY_PAD).astype(jnp.int32))
-    offs = jnp.asarray(_offsets(kernel, dilation))  # [K, 3]
+    # explicit `offsets` override the cubic K^3 stencil (permutohedral
+    # lattice: ops/permutohedral.permutohedral_offsets)
+    offs = jnp.asarray(_offsets(kernel, dilation) if offsets is None
+                       else offsets)  # [K, 3]
     K = offs.shape[0]
-    # queries [K, N]: coords shifted by every offset at once
-    shifted = coords[None, :, 1:] + offs[:, None, :]
-    q = jnp.concatenate(
-        [jnp.broadcast_to(coords[None, :, :1], (K,) + coords[:, :1].shape),
-         shifted], axis=-1)
-    qkeys = C.pack(q.reshape(-1, 4))
-    nbr = C.lookup(keys, qkeys).reshape(K, -1).T  # [N, K]
+    if nn_search and dilation > 1:
+        deltas = jnp.asarray(_chebyshev_shells(dilation // 2))  # [S, 3]
+        batch_col = coords[:, :1]
+
+        def per_offset(off):
+            cand = coords[:, None, 1:] + off[None, None, :] + deltas[None]
+            q = jnp.concatenate(
+                [jnp.broadcast_to(batch_col[:, None], cand[..., :1].shape),
+                 cand], axis=-1)
+            rows = C.lookup(keys, C.pack(q.reshape(-1, 4)))
+            rows = rows.reshape(cand.shape[0], -1)  # [N, S] radius-ordered
+            first = jnp.argmax(rows >= 0, axis=1)
+            hit = jnp.take_along_axis(rows, first[:, None], axis=1)[:, 0]
+            return jnp.where((rows >= 0).any(axis=1), hit, -1)
+
+        nbr = jax.lax.map(per_offset, offs).T  # [N, K]
+    else:
+        # queries [K, N]: coords shifted by every offset at once
+        shifted = coords[None, :, 1:] + offs[:, None, :]
+        q = jnp.concatenate(
+            [jnp.broadcast_to(coords[None, :, :1],
+                              (K,) + coords[:, :1].shape),
+             shifted], axis=-1)
+        qkeys = C.pack(q.reshape(-1, 4))
+        nbr = C.lookup(keys, qkeys).reshape(K, -1).T  # [N, K]
     if orient is None:
         orient = jnp.zeros((keys.shape[0],), jnp.int32)
     return LevelTopology(keys=keys, coords=coords, num_active=num_active,
@@ -228,6 +273,18 @@ class PlanSpec:
     dilation: int = 1
     down_size: int = 2
     down_stride: int = 2
+    # dilated offsets with no active site fall back to the nearest active
+    # site within Chebyshev radius dilation//2 (see build_level)
+    nn_search: bool = False
+    # "cubic" (3^d stencil) or "permutohedral" (d^2+d+1 lattice neighbors;
+    # coordinates must be pre-mapped with ops/permutohedral.embed_points)
+    lattice: str = "cubic"
+
+    def level_offsets(self):
+        if self.lattice == "permutohedral":
+            from occuseg_tpu.ops.permutohedral import permutohedral_offsets
+            return permutohedral_offsets(3)
+        return None
 
     @property
     def num_levels(self) -> int:
@@ -259,14 +316,18 @@ def build_plan(point_coords: jnp.ndarray, spec: PlanSpec,
             jnp.linalg.norm(nsum, axis=1, keepdims=True), 1e-8)
         orient0 = oriented_filter(normals)
 
-    levels = [build_level(keys0, spec.kernel, spec.dilation, orient0)]
+    levels = [build_level(keys0, spec.kernel, spec.dilation, orient0,
+                          nn_search=spec.nn_search,
+                          offsets=spec.level_offsets())]
     transitions = []
     for l in range(1, spec.num_levels):
         keys_l = downsample_keys(levels[-1], spec.down_size, spec.down_stride,
                                  spec.caps[l])
         orient_l = None
         if normals is not None:
-            lvl_tmp = build_level(keys_l, spec.kernel, spec.dilation)
+            lvl_tmp = build_level(keys_l, spec.kernel, spec.dilation,
+                                  nn_search=spec.nn_search,
+                                  offsets=spec.level_offsets())
             tr_tmp = build_transition(levels[-1], lvl_tmp, spec.down_size,
                                       spec.down_stride)
             safe = jnp.where(tr_tmp.child >= 0, tr_tmp.child, 0)
@@ -281,7 +342,9 @@ def build_plan(point_coords: jnp.ndarray, spec: PlanSpec,
             transitions.append(tr_tmp)
             levels.append(lvl)
             continue
-        lvl = build_level(keys_l, spec.kernel, spec.dilation)
+        lvl = build_level(keys_l, spec.kernel, spec.dilation,
+                          nn_search=spec.nn_search,
+                          offsets=spec.level_offsets())
         transitions.append(
             build_transition(levels[-1], lvl, spec.down_size, spec.down_stride)
         )

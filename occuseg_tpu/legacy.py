@@ -218,6 +218,16 @@ def MultiscaleShapeContext(dimension, nIn, n_scales=3, **_):
     return _MSC(num_scales=n_scales)
 
 
+def PermutohedralSubmanifoldConvolution(dimension, nIn, nOut, bias=False):
+    """(reference `permutohedralSubmanifoldConvolution.py:29`) — plan must
+    use PlanSpec(lattice="permutohedral")."""
+    _check3(dimension)
+    from occuseg_tpu.nn.extras import (
+        PermutohedralSubmanifoldConvolution as _P,
+    )
+    return _P(out_features=nOut, use_bias=bias)
+
+
 def InputLayerInput(coords, features):
     """(reference `inputBatch.py` InputLayerInput): pair container for the
     raw (coords, features) fed to InputLayer."""

@@ -319,3 +319,33 @@ def sparsify_coords(x: SparseTensor, plan: Topology, cap: int,
     safe = jnp.where(idx < 0, 0, idx)
     out = lvl.coords[safe]
     return jnp.where((idx >= 0)[:, None], out, -1)
+
+
+class PermutohedralSubmanifoldConvolution(nn.Module):
+    """Submanifold convolution over the permutohedral (A_3) lattice's
+    d^2+d+1 = 13 nearest-neighbor offsets (reference
+    `permutohedralSubmanifoldConvolution.py:29-63`). Requires a plan built
+    with `PlanSpec(lattice="permutohedral")` on coordinates pre-mapped via
+    `ops/permutohedral.embed_points`; the conv itself is the ordinary
+    gather + matmul with K = 13."""
+
+    out_features: int
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False) -> SparseTensor:
+        from occuseg_tpu.nn.modules import _he_conv_init
+        from occuseg_tpu.ops import conv as _conv
+
+        lvl = plan.levels[x.level]
+        K = lvl.nbr.shape[1]
+        w = self.param("weight", _he_conv_init(K),
+                       (K, x.num_channels, self.out_features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.out_features,), self.param_dtype)
+             if self.use_bias else None)
+        out = _conv.gather_conv(x.features, lvl.nbr, w, b)
+        return x.with_features(out)

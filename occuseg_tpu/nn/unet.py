@@ -136,9 +136,41 @@ class FullyConvolutionalNet(nn.Module):
         return concat_features(x, y)
 
 
+class _PlusBranch(nn.Module):
+    """One 'Plus' side branch: descend `depth` levels (strided Conv +
+    BNReLU + SubConv + BNReLU each), ascend with Deconv, interleaving
+    BNReLU + SubConv + BNReLU between deconvs (reference
+    `networkArchitectures.py:34-129`, the ConcatTable Sequentials of the
+    len(x)==3/4/5 specs — the same pattern at depths 1/2/3)."""
+
+    channels: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology, train: bool = False):
+        n = self.channels
+        for j in range(self.depth):
+            x = Convolution(n, 3, 2, name=f"down{j}")(x, plan, train)
+            x = BatchNormReLU(name=f"down{j}_bn")(x, plan, train)
+            x = SubmanifoldConvolution(n, name=f"down{j}_sub")(x, plan, train)
+            x = BatchNormReLU(name=f"down{j}_sub_bn")(x, plan, train)
+        for j in range(self.depth):
+            x = Deconvolution(n, 3, 2, name=f"up{j}")(x, plan, train)
+            if j < self.depth - 1:
+                x = BatchNormReLU(name=f"up{j}_bn")(x, plan, train)
+                x = SubmanifoldConvolution(n, name=f"up{j}_sub")(
+                    x, plan, train)
+                x = BatchNormReLU(name=f"up{j}_sub_bn")(x, plan, train)
+        return x
+
+
 class SparseVggNet(nn.Module):
-    """VGG-style builder, simple specs only: 'MP', ('MP',sz,st), 'C3/2',
-    ('C3/2',n), ('C',n) (reference `networkArchitectures.py:9-33`)."""
+    """VGG-style builder (reference `networkArchitectures.py:9-130`):
+    'MP', ('MP',sz,st), 'C3/2', ('C3/2',n), ('C',n), and the 'Plus'
+    multi-branch specs ('C',n1,n2[,n3[,n4]]) — a submanifold conv joined
+    (channel concat) with side branches that descend 1/2/3 levels and
+    deconv back, BNReLU after the join. The plan must be built with
+    down_size=3, down_stride=2 and enough levels for the deepest branch."""
 
     layers: Tuple
 
@@ -160,10 +192,18 @@ class SparseVggNet(nn.Module):
                 x = SubmanifoldConvolution(spec[1], name=f"conv{i}")(
                     x, plan, train)
                 x = BatchNormReLU(name=f"bn{i}")(x, plan, train)
+            elif isinstance(spec, (tuple, list)) and spec[0] == "C" and len(spec) <= 5:
+                parts = [SubmanifoldConvolution(spec[1], name=f"conv{i}")(
+                    x, plan, train)]
+                for b, n in enumerate(spec[2:]):
+                    parts.append(_PlusBranch(n, b + 1, name=f"plus{i}b{b}")(
+                        x, plan, train))
+                y = parts[0]
+                for p in parts[1:]:
+                    y = concat_features(y, p)
+                x = BatchNormReLU(name=f"bn{i}")(y, plan, train)
             else:
-                raise NotImplementedError(
-                    f"SparseVggNet 'Plus' spec {spec!r} needs multi-branch "
-                    "transitions; deferred")
+                raise NotImplementedError(f"SparseVggNet spec {spec!r}")
         return x
 
 

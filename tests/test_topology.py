@@ -158,3 +158,44 @@ def test_validate_plan_clean():
     plan = T.build_plan(jnp.asarray(pts), spec)
     report = T.validate_plan(plan)
     assert all(v == 0 for v in report.values()), report
+
+
+def test_nn_search_dilated_neighbors():
+    """nn_search dilated lookup: exact hit preferred, else nearest active
+    site by Chebyshev shell (reference SubmanifoldConvolutionRules.h:38-150
+    intent; its shell loop never perturbs the probe point — see
+    build_level docstring)."""
+    import numpy as np
+    from occuseg_tpu.core import topology as T
+    from occuseg_tpu.core import coords as C
+    from tests.utils import random_points
+
+    rng = np.random.default_rng(7)
+    pts = random_points(rng, 150, extent=16, batch_size=1, pad_to=256)
+    keys, _ = T.voxelize_coords(jnp.asarray(pts), 256)
+    plain = T.build_level(keys, kernel=3, dilation=2)
+    nns = T.build_level(keys, kernel=3, dilation=2, nn_search=True)
+    coords = np.asarray(plain.coords)
+    n = int(plain.num_active)
+    active = {tuple(coords[r]): r for r in range(n)}
+    offs = T._offsets(3, 2)
+    shells = T._chebyshev_shells(1)
+    p_nbr, s_nbr = np.asarray(plain.nbr), np.asarray(nns.nbr)
+    checked_fallback = 0
+    for r in range(n):
+        for k in range(offs.shape[0]):
+            target = coords[r] + np.concatenate([[0], offs[k]])
+            if p_nbr[r, k] >= 0:
+                # exact site exists -> identical to the plain dilated map
+                assert s_nbr[r, k] == p_nbr[r, k]
+                continue
+            # oracle: first active site over radius-then-lex ordered shells
+            want = -1
+            for d in shells:
+                cand = tuple(target + np.concatenate([[0], d]))
+                if cand in active:
+                    want = active[cand]
+                    break
+            assert s_nbr[r, k] == want, (r, k)
+            checked_fallback += want >= 0
+    assert checked_fallback > 0  # the fallback path was actually exercised
