@@ -32,6 +32,12 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO)
     parser = get_parser()
     parser.add_argument("--use_merge", action="store_true", default=False)
+    parser.add_argument("--use_joint_refine", action="store_true",
+                        default=False,
+                        help="joint semantic-instance refinement "
+                             "(evaluate_instance.py:809-964): single-shot "
+                             "seeded membership + membership-weighted "
+                             "semantic re-vote")
     parser.add_argument("--region_cap", type=int, default=4096)
     args = parser.parse_args()
     config = args_to_config(args)
@@ -63,7 +69,17 @@ def main() -> None:
             out.embedding, out.displacement, jnp.asarray(raw["pose"]),
             out.bw, out.offset[:, 0], sem_pred, out.occupancy[:, 0],
             region, args.region_cap)
-        labels, _ = meanshift_cluster(regions)
+        if args.use_joint_refine:
+            from occuseg_tpu.cluster import (
+                joint_refine,
+                region_semantic_probability,
+            )
+            sem_prob = region_semantic_probability(
+                out.semantics, region, args.region_cap)
+            labels, sem_ref, _ = joint_refine(regions, sem_prob)
+            sem_pred = labels_to_points(sem_ref, region)
+        else:
+            labels, _ = meanshift_cluster(regions)
         labels_np = np.asarray(labels)
         if args.use_merge:
             labels_np = occupancy_merge(

@@ -122,3 +122,42 @@ def test_submission_writer_and_fake_judge(tmp_path):
     mask = np.loadtxt(str(tmp_path / rel))
     assert mask.shape == (n,)
     assert set(np.unique(mask)).issubset({0.0, 1.0})
+
+
+def test_joint_refine_recovers_and_refines_semantics():
+    """joint_semantic_instance_segmentation analog: instances recovered in
+    one shot from seeds; noisy per-point semantics corrected by the
+    membership-weighted vote (evaluate_instance.py:809-964)."""
+    from occuseg_tpu.cluster import joint_refine, region_semantic_probability
+
+    s = _scene(2)
+    # logits: mostly the true class, 20% of points corrupted
+    rng = np.random.default_rng(0)
+    true_cls = s["sem"]
+    noisy = true_cls.copy()
+    corrupt = rng.random(P) < 0.2
+    noisy[corrupt] = rng.integers(0, 20, corrupt.sum())
+    logits = np.full((P, 20), -4.0, np.float32)
+    logits[np.arange(P), noisy] = 4.0
+
+    regions = aggregate_regions(
+        jnp.asarray(s["emb"]), jnp.asarray(s["displacement"]),
+        jnp.asarray(s["xyz"]), jnp.asarray(s["bw"]),
+        jnp.asarray(s["offset"][:, 0]), jnp.asarray(noisy),
+        jnp.asarray(s["occupancy"][:, 0]), jnp.asarray(s["region"]), R_CAP)
+    sem_prob = region_semantic_probability(
+        jnp.asarray(logits), jnp.asarray(s["region"]), R_CAP)
+    labels, sem_ref, count = joint_refine(regions, sem_prob,
+                                          max_instances=50)
+    pt_labels = np.asarray(labels_to_points(labels, jnp.asarray(s["region"])))
+    pt_sem = np.asarray(labels_to_points(sem_ref, jnp.asarray(s["region"])))
+    assert int(count) >= NUM_INST
+    for k in range(NUM_INST):
+        got = pt_labels[s["iid"] == k]
+        assert got.min() >= 0
+        vals, cnts = np.unique(got, return_counts=True)
+        assert cnts.max() / got.size > 0.95, f"instance {k} fragmented"
+        # refined semantics: the instance-wide vote overrides the 20% noise
+        ref = pt_sem[s["iid"] == k]
+        true_k = true_cls[s["iid"] == k][0]
+        assert (ref == true_k).mean() > 0.95
