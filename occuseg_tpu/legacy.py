@@ -114,7 +114,10 @@ def UnPooling(dimension, pool_size, pool_stride):
 
 def InputLayer(dimension, spatial_size, mode=4, normal_guide_scale=None):
     _check3(dimension)
-    return _m.InputLayer(mode={3: "sum", 4: "mean"}.get(mode, "mean"))
+    # IOLayersRules.h:18 — 0 unique / 2 keep take the first point per
+    # voxel, 1 overwrite the last, 3 sum, 4 mean
+    return _m.InputLayer(mode={0: "first", 1: "last", 2: "first", 3: "sum",
+                               4: "mean"}.get(mode, "mean"))
 
 
 def OutputLayer(dimension):

@@ -42,13 +42,26 @@ def unpool(coarse_feats: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
 def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
                       num_voxels_cap: int, mode: str = "mean") -> jnp.ndarray:
     """Points -> voxels reduction: the InputLayer forward
-    (`SCN/CUDA/IOLayers.cu` InputLayer_fp; modes per `IOLayersRules.h:10-16`,
-    3 = sum, 4 = mean; 'max' added for completeness).
+    (`SCN/CUDA/IOLayers.cu` InputLayer_fp; modes per `IOLayersRules.h:10-16`:
+    0 unique / 2 keep = 'first', 1 overwrite = 'last', 3 = 'sum',
+    4 = 'mean'; 'max' added for completeness).
 
     point_feats [P,C], p2v [P] int32 (-1 = dropped/padding point).
     """
     seg = jnp.where(p2v >= 0, p2v, num_voxels_cap).astype(jnp.int32)
     f32 = point_feats.astype(jnp.float32)
+    if mode in ("first", "last"):
+        # one representative point per voxel: reference modes 0/2 take the
+        # first point written, mode 1 the last
+        P = point_feats.shape[0]
+        idx = jnp.arange(P, dtype=jnp.int32)
+        reduce = jax.ops.segment_min if mode == "first" \
+            else jax.ops.segment_max
+        sel = reduce(idx, seg, num_segments=num_voxels_cap + 1)
+        sel = sel[:num_voxels_cap]
+        hit = (sel >= 0) & (sel < P)
+        safe = jnp.where(hit, sel, 0)
+        return jnp.where(hit[:, None], point_feats[safe], 0)
     if mode == "sum" or mode == "mean":
         s = jax.ops.segment_sum(f32, seg, num_segments=num_voxels_cap + 1)
         s = s[:num_voxels_cap]

@@ -308,3 +308,15 @@ def test_loop_and_fused_conv_paths_agree():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(gl[1]), np.asarray(gf[1]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_voxelize_modes_first_last():
+    """IO modes 0/2 = first point per voxel, 1 = last (IOLayersRules.h:18)."""
+    import numpy as np
+    p2v = jnp.asarray(np.array([0, 0, 1, 2, 2, 2, -1, -1], np.int32))
+    pf = jnp.asarray(np.arange(8, dtype=np.float32)[:, None] * 10)
+    cap = 4
+    first = np.asarray(pool_ops.voxelize_features(pf, p2v, cap, mode="first"))
+    last = np.asarray(pool_ops.voxelize_features(pf, p2v, cap, mode="last"))
+    np.testing.assert_array_equal(first[:, 0], [0, 20, 30, 0])
+    np.testing.assert_array_equal(last[:, 0], [10, 20, 50, 0])
