@@ -1,0 +1,190 @@
+"""Spatially-sharded eval-mode forward of the flagship OccuSeg model.
+
+One oversized scene's voxels are split across the device mesh's 'space'
+axis using `shard_plan` (active-balanced Morton layout, ppermute halos +
+all-gather pool — zero dropped refs); every convolution of the backbone
+(input submanifold conv, the full UNet recursion, the final BN-ReLU) runs
+per-shard on its slice with an exchange before each gather. The reference
+has no analog — its answer to scenes over memory is cropping
+(`scannet.py:129-135`); here a scene too big for one chip runs exactly.
+
+Eval mode only: BatchNorm applies running statistics (a pointwise affine,
+no cross-shard reduction needed). The sharded TRAINING step additionally
+needs psum'd BN batch statistics and loss reductions — round-2 work.
+
+The per-point stages (InputLayer voxelize, OutputLayer devoxelize, the
+Dense heads) are O(P*C) elementwise/segment ops, negligible next to the
+conv pipeline, and run unsharded.
+
+Validated against the unsharded `model.apply` in
+tests/test_spatial_model.py (same params/stats, equal outputs on every
+active point).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from occuseg_tpu.models.occuseg import OccuSegOutputs
+from occuseg_tpu.ops import pool as pool_ops
+from occuseg_tpu.ops.conv import gather_conv_fused
+from occuseg_tpu.parallel.spatial import (
+    SPACE_AXIS,
+    extend_features,
+    shard_plan,
+)
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _bn_eval(p, s, x, leakiness, eps=1e-4):
+    """Eval-mode BN + leaky activation (ops/norm.batch_norm, training
+    branch off): pointwise, so it shards with no communication."""
+    w = jax.lax.rsqrt(s["running_var"] + eps) * p["weight"]
+    b = p["bias"] - s["running_mean"] * w
+    y = x * w + b
+    return jnp.where(y > 0, y, leakiness * y) if leakiness != 1.0 else y
+
+
+def _pack_shard_arrays(sp) -> Tuple[list, list]:
+    """ShardedPlan -> (levels, transitions) lists of array dicts, every
+    array with leading shard axis D."""
+    levels = [dict(nbr=l.nbr_local, sl=l.send_left, sr=l.send_right,
+                   pub=l.publish) for l in sp.levels]
+    trans = [dict(child=t["child"], c_sl=t["child_send_left"],
+                  c_sr=t["child_send_right"], c_pub=t["child_publish"],
+                  up=t["up"], u_sl=t["up_send_left"],
+                  u_sr=t["up_send_right"], u_pub=t["up_publish"])
+             for t in sp.transitions]
+    to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return to_j(levels), to_j(trans)
+
+
+def _make_backbone_fn(n_planes, block_reps, residual_blocks, halo,
+                      leakiness=0.0):
+    """Per-shard _Backbone forward (models/occuseg._Backbone minus the
+    IO layers), mirroring nn/unet.UNet's recursion parameter-for-
+    parameter so trained variables drop in unchanged."""
+
+    def conv(x, lv, w):
+        ext = extend_features(x, lv["sl"], lv["sr"], lv["pub"], halo)
+        return gather_conv_fused(ext, lv["nbr"], w)
+
+    def block(p, s, x, lv):
+        if residual_blocks:
+            sc = (x @ p["shortcut"]["weight"]) if "shortcut" in p else x
+            y = _bn_eval(p["bn1"], s["bn1"], x, leakiness)
+            y = conv(y, lv, p["conv1"]["weight"])
+            y = _bn_eval(p["bn2"], s["bn2"], y, leakiness)
+            y = conv(y, lv, p["conv2"]["weight"])
+            return sc + y
+        y = _bn_eval(p["bn1"], s["bn1"], x, leakiness)
+        return conv(y, lv, p["conv1"]["weight"])
+
+    def unet(p, s, x, levels, trans, li):
+        for i in range(block_reps):
+            x = block(p[f"enc{i}"], s[f"enc{i}"], x, levels[li])
+        if li == len(n_planes) - 1:
+            return x
+        skip = x
+        t = trans[li]
+        y = _bn_eval(p["down_bn"], s["down_bn"], x, leakiness)
+        ext = extend_features(y, t["c_sl"], t["c_sr"], t["c_pub"], halo)
+        y = gather_conv_fused(ext, t["child"], p["down_conv"]["weight"])
+        y = unet(p["inner"], s["inner"], y, levels, trans, li + 1)
+        y = _bn_eval(p["up_bn"], s["up_bn"], y, leakiness)
+        ext = extend_features(y, t["u_sl"], t["u_sr"], t["u_pub"], halo)
+        y = gather_conv_fused(ext, t["up"], p["up_conv"]["weight"])
+        x = jnp.concatenate([skip, y], axis=-1)
+        for i in range(block_reps):
+            x = block(p[f"dec{i}"], s[f"dec{i}"], x, levels[li])
+        return x
+
+    def backbone(vox, levels, trans, p, s):
+        # shard_map hands [1, ...] slices; drop the shard axis
+        vox = vox[0]
+        levels = jax.tree.map(lambda a: a[0], levels)
+        trans = jax.tree.map(lambda a: a[0], trans)
+        x = conv(vox, levels[0], p["sub"]["weight"])
+        x = unet(p["unet"], s["unet"], x, levels, trans, 0)
+        x = _bn_eval(p["bn"], s["bn"], x, leakiness=0.0)
+        return x[None]
+
+    return backbone
+
+
+def sharded_backbone_apply(variables, plan, point_features, mesh: Mesh,
+                           n_planes, block_reps: int = 1,
+                           residual_blocks: bool = True,
+                           halo: int = 512, pool: int = 512):
+    """Eval _Backbone forward with the voxel pipeline sharded over
+    `mesh`'s single 'space' axis. Returns per-point features [P, m],
+    bit-comparable to `_Backbone.__call__(..., train=False)`."""
+    D = mesh.devices.size
+    sp = shard_plan(plan, D, halo, pool=pool)
+    assert sp.dropped == 0, (
+        f"shard_plan dropped {sp.dropped} refs — raise halo/pool")
+    levels, trans = _pack_shard_arrays(sp)
+
+    cap0 = np.asarray(plan.levels[0].nbr).shape[0]
+    vox = pool_ops.voxelize_features(point_features, jnp.asarray(plan.p2v),
+                                     cap0, mode="mean")
+    new_to_old0, old_to_new0 = sp.layouts[0]
+    vox_sh = vox[jnp.asarray(new_to_old0)].reshape(D, cap0 // D, -1)
+
+    # params live under backbone/backbone for the full models, or are
+    # passed directly as a _Backbone subtree
+    p = variables["params"]
+    s = variables["batch_stats"]
+    for k in ("backbone", "backbone"):
+        if k in p and "sub" not in p:
+            p, s = p[k], s[k]
+
+    fn = _make_backbone_fn(tuple(n_planes), block_reps, residual_blocks,
+                           halo)
+    out = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(SPACE_AXIS),
+                  jax.tree.map(lambda _: P(SPACE_AXIS), levels),
+                  jax.tree.map(lambda _: P(SPACE_AXIS), trans),
+                  jax.tree.map(lambda _: P(), p),
+                  jax.tree.map(lambda _: P(), s)),
+        out_specs=P(SPACE_AXIS),
+    ))(vox_sh, levels, trans, p, s)
+    out = out.reshape(cap0, -1)[jnp.asarray(old_to_new0)]
+    return pool_ops.devoxelize_features(out, jnp.asarray(plan.p2v))
+
+
+def sharded_occuseg_infer(variables, plan, point_features, mesh: Mesh,
+                          n_planes, block_reps: int = 1,
+                          residual_blocks: bool = True,
+                          halo: int = 512, pool: int = 512
+                          ) -> OccuSegOutputs:
+    """Full LearningBWDenseUNet eval forward (backbone sharded, heads
+    pointwise) — same outputs as `model.apply(variables, ..., False)`."""
+    feature = sharded_backbone_apply(variables, plan, point_features, mesh,
+                                     n_planes, block_reps, residual_blocks,
+                                     halo, pool)
+    top = variables["params"]
+    pb = top["backbone"]  # InstanceDenseUNet scope
+    y = _dense(pb["linear"], feature)
+    emb = _dense(pb["linear_embedding"], _dense(pb["fc_embedding"], feature))
+    off = jax.nn.sigmoid(
+        _dense(pb["linear_regress"], _dense(pb["fc_regress"], feature)))
+    disp = _dense(pb["linear_displacement"],
+                  _dense(pb["fc_displacement"], feature))
+    bw = jax.nn.softplus(
+        _dense(top["linear_bw"], _dense(top["fc_bw"], feature)))
+    occ = jax.nn.softplus(
+        _dense(top["linear_occupancy"], _dense(top["fc_occupancy"],
+                                               feature)))
+    return OccuSegOutputs(semantics=y, features=feature, embedding=emb,
+                          offset=off, displacement=disp, bw=bw,
+                          occupancy=occ)
