@@ -180,3 +180,119 @@ class ClusterSegNet(nn.Module):
         z = nn.Dense(128, name="mlp3")(pooled)
         z = bn_relu(z, "l3")
         return nn.Dense(self.num_classes, name="mlp4")(z)
+
+
+class CrossScaleFusion(nn.Module):
+    """Gated linear projection (reference `model.py:115-130`): linear(x) *
+    sigmoid(reweight(x)), broadcast over the output width."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x, plan: Topology, train: bool = False):
+        import jax
+
+        lin = nn.Dense(self.out_features, name="linear")(x.features)
+        gate = jax.nn.sigmoid(nn.Dense(1, name="reweight")(x.features))
+        return x.with_features(lin * gate)
+
+
+class _RepResidualBlock(nn.Module):
+    """`reps` chained pre-activated residual blocks (reference
+    `model.py:70-82`; ResidualBlock at :15-33 == nn/unet._Block)."""
+
+    in_features: int
+    out_features: int
+    reps: int = 1
+    leakiness: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, plan: Topology, train: bool = False):
+        from occuseg_tpu.nn.unet import _Block
+
+        for i in range(self.reps):
+            cin = self.in_features if i == 0 else self.out_features
+            x = _Block(cin, self.out_features, residual=True,
+                       leakiness=self.leakiness, name=f"res{i}")(
+                x, plan, train)
+        return x
+
+
+class DenseUNet_BN(nn.Module):
+    """Dense-skip UNet with gated cross-scale fusion (reference
+    `model.py:133-257`): encoder pyramid of residual blocks + strided
+    convs; decoder merges each deconv with the encoder skip through a
+    gated linear (`linearReweight`), then ADDS `CrossScaleFusion`
+    projections of the deepest encoder feature and of every earlier
+    decoder output, each upsampled (nearest, stride 2^k) to the current
+    scale — a densely-connected decoder rather than plain U-skips."""
+
+    n_planes: Tuple[int, ...]
+    block_reps: int = 1
+    leakiness: float = 0.0
+    output_feature_lvl: int = 0  # 0 = full resolution
+
+    @nn.compact
+    def __call__(self, x, plan: Topology, train: bool = False):
+        from occuseg_tpu.nn.extras import upsample_feature
+        from occuseg_tpu.nn.modules import (
+            BatchNormLeakyReLU,
+            Convolution,
+            Deconvolution,
+            NetworkInNetwork,
+        )
+        from occuseg_tpu.core.sparse_tensor import add_features
+
+        p = tuple(self.n_planes)
+        L = len(p)
+        lk = self.leakiness
+
+        def up_by(t, to_level):
+            # repeated x2 nearest upsample == one 2^k-stride nearest lookup
+            # (`utils.py:72-101` ResolutionBasedScattering path)
+            while t.level > to_level:
+                t = upsample_feature(t, t.level - 1, plan, stride=2)
+            return t
+
+        # encoder (model.py:198-209)
+        features = []
+        cur = x
+        for idx in range(L - 1):
+            cur = _RepResidualBlock(p[idx], p[idx], self.block_reps, lk,
+                                    name=f"res{idx}")(cur, plan, train)
+            features.append(cur)
+            y = BatchNormLeakyReLU(leakiness=lk, name=f"bn0_{idx}")(
+                cur, plan, train)
+            cur = Convolution(p[idx + 1], 2, 2, name=f"conv{idx}")(
+                y, plan, train)
+        cur = _RepResidualBlock(p[L - 1], p[L - 1], self.block_reps, lk,
+                                name=f"res{L-1}")(cur, plan, train)
+        features.append(cur)
+
+        # decoder (model.py:211-256)
+        features2 = []
+        for count in range(L - 1 - self.output_feature_lvl):
+            li = L - 2 - count
+            src = features[li + 1] if count == 0 else features2[-1]
+            u = Deconvolution(p[li], 2, 2, name=f"deconv{li}")(
+                BatchNormLeakyReLU(leakiness=lk, name=f"bn1_{li}")(
+                    src, plan, train), plan, train)
+            u = NetworkInNetwork(p[li], use_bias=True,
+                                 name=f"reweight{li}")(u, plan, train)
+            a = _RepResidualBlock(p[li], p[li], self.block_reps, lk,
+                                  name=f"res2_{li}")(
+                add_features(features[li], u), plan, train)
+            b = CrossScaleFusion(p[li], name=f"csf_deep_{li}")(
+                features[-1], plan, train)
+            a = add_features(a, up_by(b, li))
+            for j in range(count):
+                b = CrossScaleFusion(p[li], name=f"csf{j}_{li}")(
+                    features2[j], plan, train)
+                a = add_features(a, up_by(b, li))
+            features2.append(BatchNormLeakyReLU(leakiness=lk,
+                                                name=f"bn2_{li}")(
+                a, plan, train))
+        out = features2[-1]
+        if self.output_feature_lvl > 0:
+            out = up_by(out, 0)
+        return out

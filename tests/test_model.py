@@ -82,3 +82,28 @@ def test_gradients_flow_through_model():
     assert total > 0
     nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in leaves)
     assert nonzero / len(leaves) > 0.9, f"{nonzero}/{len(leaves)} grads nonzero"
+
+
+def test_dense_unet_bn_forward():
+    """DenseUNet_BN (model.py:133-257): dense-skip decoder with gated
+    cross-scale fusion; output at full resolution, width n_planes[0]."""
+    from occuseg_tpu.core.sparse_tensor import SparseTensor
+    from occuseg_tpu.models.occuseg import DenseUNet_BN
+
+    plan, feats = _inputs(3)
+    lvl0 = plan.levels[0]
+    x = SparseTensor(features=jnp.asarray(np.asarray(feats)),
+                     num_active=lvl0.num_active, level=0)
+    # channel count must match n_planes[0] at input (reference feeds the
+    # backbone's stem output)
+    x = x.with_features(jnp.tile(x.features, (1, 3))[:, :8])
+    model = DenseUNet_BN(n_planes=(8, 16, 24, 32), block_reps=1)
+    variables = model.init(jax.random.PRNGKey(2), x, plan, False)
+    out = model.apply(variables, x, plan, False)
+    assert out.features.shape == (x.features.shape[0], 8)
+    assert out.level == 0
+    assert np.isfinite(np.asarray(out.features)).all()
+    # train mode touches every BN's batch_stats
+    out2, mut = model.apply(variables, x, plan, True,
+                            mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out2.features)).all()
