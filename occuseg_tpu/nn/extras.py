@@ -349,3 +349,19 @@ class PermutohedralSubmanifoldConvolution(nn.Module):
              if self.use_bias else None)
         out = _conv.gather_conv(x.features, lvl.nbr, w, b)
         return x.with_features(out)
+
+
+class SpatialDropOut(nn.Module):
+    """Channel dropout with the reference's exact (non-inverted) scaling
+    (`model.py:97-113`): train multiplies by a per-channel bernoulli mask
+    with NO 1/(1-p) rescale; eval multiplies all features by (1-p)."""
+
+    p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan=None, train=False):
+        if not train:
+            return x.with_features(x.features * (1 - self.p))
+        rng = self.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1 - self.p, (1, x.num_channels))
+        return x.with_features(jnp.where(keep, x.features, 0))
