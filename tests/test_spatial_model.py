@@ -67,3 +67,71 @@ def test_sharded_infer_matches_unsharded():
         b = np.asarray(getattr(got, name))[valid]
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4,
                                    err_msg=name)
+
+
+def test_sharded_train_forward_matches_unsharded():
+    """Train-mode sharded forward: outputs, updated BN running stats, AND
+    parameter gradients all match the unsharded model.apply(train=True)."""
+    from occuseg_tpu.parallel.spatial_model import (
+        prepare_shard_args,
+        sharded_train_forward,
+    )
+
+    batch = make_batch(SceneConfig(num_points=2500, extent=40,
+                                   num_objects=6), 1, 4096, 16, seed=1)
+    plan = build_plan_host(batch["coords"], PlanSpec(caps=CAPS))
+    plan_j = jax.tree.map(jnp.asarray, plan)
+    pf = jnp.asarray(batch["features"])
+
+    model = LearningBWDenseUNet(n_planes=PLANES, num_classes=20,
+                                block_reps=1, residual_blocks=True)
+    variables = model.init(jax.random.PRNGKey(3), pf, plan_j, False)
+    params, stats = variables["params"], variables["batch_stats"]
+    mesh = Mesh(np.asarray(jax.devices()[:D]), (SPACE_AXIS,))
+    sa = prepare_shard_args(plan, D, halo=256, pool=256)
+    p2v = jnp.asarray(plan.p2v)
+    valid = np.asarray(plan.p2v) >= 0
+
+    vmask = jnp.asarray(valid)[:, None]
+
+    def loss_ref(p):
+        out, mut = model.apply({"params": p, "batch_stats": stats},
+                               pf, plan_j, True, mutable=["batch_stats"])
+        return jnp.sum(jnp.where(vmask, out.features, 0) ** 2) * 1e-3, \
+            (out, mut["batch_stats"])
+
+    def loss_sh(p):
+        out, ns = sharded_train_forward(
+            {"params": p, "batch_stats": stats}, sa, p2v, pf, mesh, PLANES)
+        return jnp.sum(jnp.where(vmask, out.features, 0) ** 2) * 1e-3, \
+            (out, ns)
+
+    (l_ref, (o_ref, s_ref)), g_ref = jax.jit(jax.value_and_grad(
+        loss_ref, has_aux=True))(params)
+    (l_sh, (o_sh, s_sh)), g_sh = jax.jit(jax.value_and_grad(
+        loss_sh, has_aux=True))(params)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(o_sh.features)[valid],
+                               np.asarray(o_ref.features)[valid],
+                               rtol=2e-3, atol=2e-4)
+    def by_path(tree):
+        return {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+    # updated running stats match (global psum'd masked statistics)
+    sh_stats, ref_stats = by_path(s_sh), by_path(s_ref)
+    assert set(sh_stats) == set(ref_stats)
+    for k in ref_stats:
+        np.testing.assert_allclose(np.asarray(sh_stats[k]),
+                                   np.asarray(ref_stats[k]),
+                                   rtol=2e-3, atol=2e-5, err_msg=k)
+    # gradients agree (relative to the parameter-wise gradient scale)
+    sh_g, ref_g = by_path(g_sh), by_path(g_ref)
+    assert set(sh_g) == set(ref_g)
+    for k in ref_g:
+        a, b = np.asarray(sh_g[k]), np.asarray(ref_g[k])
+        denom = np.maximum(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / denom, b / denom, atol=5e-3,
+                                   err_msg=k)
+    assert len(ref_g) > 50
