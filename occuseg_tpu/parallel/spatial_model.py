@@ -309,7 +309,7 @@ def prepare_shard_args(plan, num_shards: int, halo: int = 512,
         nact.append(jnp.asarray(np.asarray(counts, np.int32)))
     layouts = [(jnp.asarray(a), jnp.asarray(b)) for a, b in sp.layouts]
     return dict(levels=levels, trans=trans, nact=nact, layouts=layouts,
-                halo=halo)
+                halo=halo, p2v=jnp.asarray(plan.p2v))
 
 
 def sharded_train_forward(variables, shard_args, plan_p2v, point_features,
@@ -371,3 +371,49 @@ def sharded_train_forward(variables, shard_args, plan_p2v, point_features,
                              offset=off, displacement=disp, bw=bw,
                              occupancy=occ)
     return outputs, new_stats
+
+
+def make_spatial_train_step(mesh: Mesh, n_planes, cfg=None, loss_cfg=None,
+                            num_scenes: int = 1, num_instances: int = 64,
+                            block_reps: int = 1,
+                            residual_blocks: bool = True):
+    """Full spatially-sharded training step (the CP analog of
+    train/state.make_train_step): sharded backbone forward + the 6-term
+    OccuSeg loss + optimizer update. Jit by caller; `shard_args` from
+    `prepare_shard_args` (host, once per plan/bucket) rides as data.
+
+    step(state, batch, shard_args) -> (state, loss_parts); `batch` is the
+    usual padded dict incl. 'coords_p2v' — pass plan.p2v as
+    shard_args['p2v'] via prepare_shard_args.
+    """
+    from occuseg_tpu.losses.instance import LossConfig, occuseg_total_loss
+    from occuseg_tpu.train.state import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+    )
+    import optax
+
+    cfg = cfg or TrainConfig()
+    loss_cfg = loss_cfg or LossConfig()
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch, shard_args):
+        outputs, new_stats = sharded_train_forward(
+            {"params": params, "batch_stats": batch_stats}, shard_args,
+            shard_args["p2v"], batch["features"], mesh, n_planes,
+            block_reps, residual_blocks)
+        total, parts = occuseg_total_loss(outputs, batch, num_scenes,
+                                          num_instances, loss_cfg)
+        return total, (parts, new_stats)
+
+    def step(state, batch, shard_args):
+        (_, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   shard_args)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), parts
+
+    return step

@@ -135,3 +135,53 @@ def test_sharded_train_forward_matches_unsharded():
         np.testing.assert_allclose(a / denom, b / denom, atol=5e-3,
                                    err_msg=k)
     assert len(ref_g) > 50
+
+
+def test_spatial_train_step_matches_unsharded_step():
+    """End-to-end: the sharded training step (OccuSeg 6-term loss + Adam)
+    produces the same loss parts and parameter updates as the unsharded
+    make_train_step on the same batch/plan."""
+    from occuseg_tpu.parallel.spatial_model import (
+        make_spatial_train_step,
+        prepare_shard_args,
+    )
+    from occuseg_tpu.train.state import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    batch = make_batch(SceneConfig(num_points=2500, extent=40,
+                                   num_objects=6), 1, 4096, 16, seed=2)
+    spec = PlanSpec(caps=CAPS)
+    plan = build_plan_host(batch["coords"], spec)
+    plan_j = jax.tree.map(jnp.asarray, plan)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = LearningBWDenseUNet(n_planes=PLANES, num_classes=20,
+                                block_reps=1, residual_blocks=True)
+    cfg = TrainConfig(lr=1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(4), batch_j, spec,
+                               cfg)
+
+    ref_step = jax.jit(make_train_step(model, spec, cfg,
+                                       num_instances=16))
+    st_ref, parts_ref = ref_step(state, batch_j, plan_j)
+
+    mesh = Mesh(np.asarray(jax.devices()[:D]), (SPACE_AXIS,))
+    sa = prepare_shard_args(plan, D, halo=256, pool=256)
+    sp_step = jax.jit(make_spatial_train_step(mesh, PLANES, cfg,
+                                              num_instances=16))
+    st_sp, parts_sp = sp_step(state, batch_j, sa)
+
+    for k in parts_ref:
+        np.testing.assert_allclose(float(parts_sp[k]), float(parts_ref[k]),
+                                   rtol=2e-3, atol=1e-4, err_msg=k)
+    # parameter updates agree
+    pa = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(st_sp.params)}
+    pb = {jax.tree_util.keystr(p): v for p, v in
+          jax.tree_util.tree_leaves_with_path(st_ref.params)}
+    for k in pb:
+        np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
+                                   rtol=5e-3, atol=5e-5, err_msg=k)
