@@ -68,6 +68,15 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_buckets", type=int, default=1,
                    help=">1 enables bucketed static shapes (one jitted "
                         "step per cap bucket; cuts padding waste)")
+    p.add_argument("--spatial_shards", type=int, default=0,
+                   help=">1 splits each batch's VOXELS across this many "
+                        "chips (CP-style spatial sharding: halo/pool "
+                        "exchanges, psum'd BN stats) instead of data "
+                        "parallelism — for scenes too big for one chip")
+    p.add_argument("--spatial_halo", type=int, default=4096,
+                   help="halo rows per shard side (spatial sharding)")
+    p.add_argument("--spatial_pool", type=int, default=4096,
+                   help="all-gather pool rows per shard (spatial sharding)")
     return p
 
 
@@ -84,7 +93,7 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "regress_sigma", "regress_weight", "displacement_weight",
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
               "instance_cap", "num_devices", "num_buckets", "accum_steps",
-              "load"):
+              "spatial_shards", "spatial_halo", "spatial_pool", "load"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]

@@ -167,7 +167,27 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                                kernel=config.get("kernel_size", 3))
 
     mesh = None
-    if n_dev > 1:
+    n_spatial = int(config.get("spatial_shards", 0) or 0)
+    if n_spatial > 1:
+        # CP-style spatial sharding: every batch's voxels split over
+        # `spatial_shards` chips (parallel/spatial_model.py); the plan is
+        # host-sharded per batch (prepare_shard_args)
+        from jax.sharding import Mesh
+        from occuseg_tpu.parallel.spatial import SPACE_AXIS
+        from occuseg_tpu.parallel.spatial_model import make_spatial_train_step
+
+        n_spatial = min(n_spatial, len(jax.devices()))
+        smesh = Mesh(np.asarray(jax.devices()[:n_spatial]), (SPACE_AXIS,))
+        planes = tuple(int(x) for x in config["unet_structure"])
+        step_fn = jax.jit(make_spatial_train_step(
+            smesh, planes, tcfg, lcfg, num_scenes=batch_per_dev,
+            num_instances=i_cap,
+            block_reps=config.get("block_reps", 1),
+            residual_blocks=config.get("residual_blocks", True)))
+        step_fns = None
+        buckets = None  # bucketed caps and spatial splits don't compose yet
+        n_dev = 1  # batches flow through the single-stream prefetcher
+    elif n_dev > 1:
         mesh = make_mesh(n_dev)
         step_fn = make_dp_train_step(model, spec, mesh, tcfg, lcfg,
                                      num_scenes=batch_per_dev,
@@ -240,6 +260,21 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                                for k in group[0]}
                     batch = shard_batch(stacked, mesh)
                     state, parts = step_fn(state, batch)
+                elif n_spatial > 1:
+                    from occuseg_tpu.parallel.spatial_model import (
+                        prepare_shard_args,
+                    )
+                    raw = {k: v for k, v in raw.items() if k != "region"}
+                    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+                    if host_plan is None:
+                        from occuseg_tpu.core.topology import build_plan
+                        host_plan = jax.device_get(jax.jit(
+                            lambda c: build_plan(c, spec))(batch["coords"]))
+                    sa = prepare_shard_args(
+                        host_plan, n_spatial,
+                        halo=int(config.get("spatial_halo", 4096)),
+                        pool=int(config.get("spatial_pool", 4096)))
+                    state, parts = step_fn(state, batch, sa)
                 else:
                     raw = {k: v for k, v in raw.items() if k != "region"}
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}

@@ -40,3 +40,21 @@ def test_train_loop_dp_8_devices(tmp_path):
     config["unet_structure"] = [8, 16, 24]
     result = train(config, max_steps=1)
     assert result["steps"] == 1
+
+
+def test_train_loop_spatial_8_shards(tmp_path):
+    """Train loop's spatial branch: each batch's voxels split over 8
+    shards (halo/pool exchange, psum'd BN), two optimizer steps."""
+    args = get_parser().parse_args([
+        "--m", "8", "--batch_size", "1", "--scale", "50",
+        "--residual_blocks", "--use_dense_model", "--max_epoch", "1",
+        "--point_cap", "8192", "--voxel_cap", "8192",
+        "--instance_cap", "16", "--spatial_shards", "8",
+        "--spatial_halo", "512", "--spatial_pool", "512",
+        "--checkpoints_dir", str(tmp_path),
+        "--data_dir", str(tmp_path / "nodata"),
+    ])
+    config = args_to_config(args)
+    config["unet_structure"] = [8, 16, 24]
+    result = train(config, max_steps=2)
+    assert result["steps"] == 2
