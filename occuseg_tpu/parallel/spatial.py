@@ -156,16 +156,15 @@ def _active_balanced_layout(cap: int, n_active: int, num_shards: int):
     equal-count chunks, chunk d packed at slots [d*S, d*S+len) of S=cap/D.
     Returns (new_to_old [cap] gather order, old_to_new [cap] inverse)."""
     S = cap // num_shards
-    new_to_old = np.full(cap, -1, np.int64)
+    new_to_old = np.full(cap, -1, np.int32)
     for d, chunk in enumerate(np.array_split(np.arange(n_active),
                                              num_shards)):
         assert chunk.size <= S, "active rows overflow shard slots"
         new_to_old[d * S:d * S + chunk.size] = chunk
-    pads = iter(range(n_active, cap))
-    for i in np.where(new_to_old < 0)[0]:
-        new_to_old[i] = next(pads)
-    old_to_new = np.empty(cap, np.int64)
-    old_to_new[new_to_old] = np.arange(cap)
+    holes = np.where(new_to_old < 0)[0]
+    new_to_old[holes] = np.arange(n_active, cap, dtype=np.int32)
+    old_to_new = np.empty(cap, np.int32)
+    old_to_new[new_to_old] = np.arange(cap, dtype=np.int32)
     return new_to_old, old_to_new
 
 
@@ -173,10 +172,11 @@ def _relay_map(map_arr: np.ndarray, dst_layout, src_layout) -> np.ndarray:
     """Reorder a ref map's rows into the dst level's balanced layout and
     remap its values through the src level's old->new permutation."""
     new_to_old_dst = dst_layout[0]
-    old_to_new_src = src_layout[1]
-    rows = map_arr[new_to_old_dst]
-    return np.where(rows >= 0, old_to_new_src[np.maximum(rows, 0)],
-                    -1).astype(np.int32)
+    # one extra sentinel slot maps ref -1 -> -1 without a where-pass
+    lut = np.concatenate([src_layout[1],
+                          np.asarray([-1], np.int32)])
+    rows = map_arr.take(new_to_old_dst, axis=0)
+    return lut.take(rows)
 
 
 def _shard_ref_map(map_arr: np.ndarray, dst_cap: int, src_cap: int,
@@ -212,20 +212,21 @@ def _shard_ref_map(map_arr: np.ndarray, dst_cap: int, src_cap: int,
         right_needs.append(right)
         far_needs.append(far)
     # pass 2: publish sets — owner o contributes every row any shard needs
-    # through the pool; positions are global (same on every shard)
+    # through the pool; positions are global (same on every shard). The
+    # pool position of src row r lives in one [src_cap] lookup array.
     publish = np.full((D, pool), -1, np.int32)
-    pool_pos: dict = {}
+    pool_map = np.full(src_cap, -1, np.int32)
     dropped = 0
     all_far = (np.unique(np.concatenate(far_needs)) if far_needs
                else np.empty(0, np.int64))
+    base_pool = Ssrc + 2 * halo
     for o in range(D):
         mine = all_far[(all_far >= o * Ssrc) & (all_far < (o + 1) * Ssrc)]
         mine = mine[:pool]  # overflow refs counted as dropped in pass 3
         publish[o, :mine.size] = mine - o * Ssrc
-        for i, r in enumerate(mine):
-            pool_pos[int(r)] = o * pool + i
-    # pass 3: remap
-    base_pool = Ssrc + 2 * halo
+        pool_map[mine] = base_pool + o * pool + np.arange(mine.size)
+    # pass 3: remap each shard through one [src_cap] lookup array — no
+    # per-element Python (this runs per batch in the loader path)
     out = np.full((D, Sdst, K), -1, np.int32)
     send_left = np.full((D, halo), -1, np.int32)
     send_right = np.full((D, halo), -1, np.int32)
@@ -233,25 +234,18 @@ def _shard_ref_map(map_arr: np.ndarray, dst_cap: int, src_cap: int,
         rows = map_arr[d * Sdst:(d + 1) * Sdst]
         lo, hi = d * Ssrc, (d + 1) * Ssrc
         left, right = left_needs[d], right_needs[d]
-        lmap = {int(r): Ssrc + i for i, r in enumerate(left)}
-        rmap = {int(r): Ssrc + halo + i for i, r in enumerate(right)}
         if d > 0:
             send_right[d - 1, :left.size] = left - (lo - Ssrc)
         if d + 1 < D:
             send_left[d + 1, :right.size] = right - hi
-        blk = np.full((Sdst, K), -1, np.int32)
-        inside = (rows >= lo) & (rows < hi)
-        blk[inside] = rows[inside] - lo
-        for s, k in zip(*np.where((rows >= 0) & ~inside)):
-            g = int(rows[s, k])
-            if g in lmap:
-                blk[s, k] = lmap[g]
-            elif g in rmap:
-                blk[s, k] = rmap[g]
-            elif g in pool_pos:
-                blk[s, k] = base_pool + pool_pos[g]
-            else:
-                dropped += 1
+        remap = np.concatenate([pool_map,
+                                np.asarray([-1], np.int32)])
+        remap[lo:hi] = np.arange(Ssrc, dtype=np.int32)
+        remap[left] = (Ssrc + np.arange(left.size)).astype(np.int32)
+        remap[right] = (Ssrc + halo
+                        + np.arange(right.size)).astype(np.int32)
+        blk = remap.take(rows)  # ref -1 hits the sentinel slot -> -1
+        dropped += int(np.sum((rows >= 0) & (blk < 0)))
         out[d] = blk
     return out, send_left, send_right, publish, dropped
 
