@@ -95,14 +95,16 @@ def get_dataset(config: Dict):
 
 
 def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
-                    bucket_specs_list=None
+                    bucket_specs_list=None, spatial: Optional[Dict] = None
                     ) -> Iterator[Tuple[Dict, Optional[object], int]]:
     """Yield (batch, host_plan, bucket_index) with the C++ plan built one
     batch ahead in a worker thread — the loader-side analog of the
     reference's DataLoader workers overlapping rulebook prep with GPU
     compute. host_plan is None when the native library is unavailable (step
     builds it in-jit). With `bucket_specs_list`, each batch gets the
-    smallest cap bucket that fits (train/bucketing.py)."""
+    smallest cap bucket that fits (train/bucketing.py). With `spatial`
+    (dict of shards/halo/pool), the sharded plan (prepare_shard_args) is
+    ALSO built in the worker and yielded as the second element."""
     from occuseg_tpu.native.plan import build_plan_host
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -116,6 +118,13 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     bi, plan = plan_for_batch(bucket_specs_list, b["coords"])
                 else:
                     bi, plan = 0, build_plan_host(b["coords"], spec)
+                if spatial is not None and plan is not None:
+                    from occuseg_tpu.parallel.spatial_model import (
+                        prepare_shard_args,
+                    )
+                    plan = prepare_shard_args(
+                        plan, spatial["shards"], halo=spatial["halo"],
+                        pool=spatial["pool"])
                 q.put((b, plan, bi))
         finally:
             q.put(DONE)
@@ -236,12 +245,17 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                             group = []
                 source = grouped(batches)
             else:
+                spatial = (dict(shards=n_spatial,
+                                halo=int(config.get("spatial_halo", 4096)),
+                                pool=int(config.get("spatial_pool", 4096)))
+                           if n_spatial > 1 else None)
                 source = plan_prefetcher(batches, spec,
-                                         bucket_specs_list=buckets)
+                                         bucket_specs_list=buckets,
+                                         spatial=spatial)
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
-                if host_plan is not None:
+                if host_plan is not None and n_spatial <= 1:
                     # per-epoch MulAdd/hidden counters, protocol parity with
                     # the reference's per-epoch printout
                     # (train_instance.py:459-462)
@@ -261,19 +275,20 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     batch = shard_batch(stacked, mesh)
                     state, parts = step_fn(state, batch)
                 elif n_spatial > 1:
-                    from occuseg_tpu.parallel.spatial_model import (
-                        prepare_shard_args,
-                    )
                     raw = {k: v for k, v in raw.items() if k != "region"}
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-                    if host_plan is None:
+                    sa = host_plan  # prefetcher yields shard args here
+                    if sa is None:  # no native builder: in-jit plan
                         from occuseg_tpu.core.topology import build_plan
-                        host_plan = jax.device_get(jax.jit(
+                        from occuseg_tpu.parallel.spatial_model import (
+                            prepare_shard_args,
+                        )
+                        plan = jax.device_get(jax.jit(
                             lambda c: build_plan(c, spec))(batch["coords"]))
-                    sa = prepare_shard_args(
-                        host_plan, n_spatial,
-                        halo=int(config.get("spatial_halo", 4096)),
-                        pool=int(config.get("spatial_pool", 4096)))
+                        sa = prepare_shard_args(
+                            plan, n_spatial,
+                            halo=int(config.get("spatial_halo", 4096)),
+                            pool=int(config.get("spatial_pool", 4096)))
                     state, parts = step_fn(state, batch, sa)
                 else:
                     raw = {k: v for k, v in raw.items() if k != "region"}
