@@ -106,3 +106,54 @@ def test_sharded_unet_forward_matches():
     # nothing is dropped, so every active row must match exactly
     assert sp.dropped == 0, f"shard_plan dropped {sp.dropped} refs"
     np.testing.assert_allclose(out[:n0], ref[:n0], rtol=2e-3, atol=2e-4)
+
+
+def test_shard_plan_reconstruction_invariant():
+    """Every surviving ref in every sharded map must reconstruct to the
+    ORIGINAL global row through its slot class (local / left halo / right
+    halo / pool) — validates layouts, send lists, and publish sets
+    together."""
+    batch = make_batch(SceneConfig(num_points=3000, extent=48,
+                                   num_objects=6), 1, 4096, 16, seed=3)
+    plan = build_plan_host(batch["coords"], PlanSpec(caps=CAPS))
+    sp = shard_plan(plan, D, HALO, pool=POOL)
+    assert sp.dropped == 0
+
+    def check(map_new, sh_map, sl, sr, pub, dst_layout, src_layout,
+              src_cap):
+        Ddim, Sdst, K = sh_map.shape
+        Ssrc = src_cap // Ddim
+        new_to_old_dst, _ = dst_layout
+        new_to_old_src, old_to_new_src = src_layout
+        checked = 0
+        for d in range(Ddim):
+            for s in range(Sdst):
+                old_dst = new_to_old_dst[d * Sdst + s]
+                for k in range(K):
+                    l = sh_map[d, s, k]
+                    want = map_new[d * Sdst + s, k]
+                    if want < 0:
+                        assert l < 0
+                        continue
+                    if l < Ssrc:                      # local
+                        got = d * Ssrc + l
+                    elif l < Ssrc + HALO:             # left halo
+                        got = (d - 1) * Ssrc + sr[d - 1, l - Ssrc]
+                    elif l < Ssrc + 2 * HALO:         # right halo
+                        got = (d + 1) * Ssrc + sl[d + 1, l - Ssrc - HALO]
+                    else:                             # pool
+                        pslot = l - Ssrc - 2 * HALO
+                        o, i = pslot // POOL, pslot % POOL
+                        got = o * Ssrc + pub[o, i]
+                    assert got == want, (d, s, k)
+                    checked += 1
+        return checked
+
+    import numpy as np
+    for li, (lvl, sh) in enumerate(zip(plan.levels, sp.levels)):
+        lay = sp.layouts[li]
+        from occuseg_tpu.parallel.spatial import _relay_map
+        relaid = _relay_map(np.asarray(lvl.nbr), lay, lay)
+        n = check(relaid, sh.nbr_local, sh.send_left, sh.send_right,
+                  sh.publish, lay, lay, np.asarray(lvl.nbr).shape[0])
+        assert n > 0, f"level {li} had no refs"
