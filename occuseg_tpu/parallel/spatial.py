@@ -250,6 +250,29 @@ def _shard_ref_map(map_arr: np.ndarray, dst_cap: int, src_cap: int,
     return out, send_left, send_right, publish, dropped
 
 
+def transpose_ext_map(sh_map: np.ndarray, src_ext: int) -> np.ndarray:
+    """Transpose a sharded ref map for the scatter-free conv backward.
+
+    sh_map [D, Sdst, K] has output rows gathering extended-space input
+    positions; the transpose [D, src_ext, K] has extended positions
+    gathering the output rows that consume them, with the column flip
+    nbr_t[j, K-1-k] = i  <=>  sh_map[i, k] = j (ops/conv.gather_conv's
+    pairing, so d_ext[j] = sum_k ct[nbr_t[j,k]] @ W[K-1-k]^T). Unique by
+    construction: at fixed offset k an input position feeds at most one
+    output row."""
+    D, Sdst, K = sh_map.shape
+    out = np.full((D, src_ext, K), -1, np.int32)
+    i_idx = np.broadcast_to(np.arange(Sdst, dtype=np.int32)[:, None],
+                            (Sdst, K))
+    kt_idx = np.broadcast_to(np.arange(K - 1, -1, -1, dtype=np.int32)[None],
+                             (Sdst, K))
+    for d in range(D):
+        j = sh_map[d]
+        valid = j >= 0
+        out[d, j[valid], kt_idx[valid]] = i_idx[valid]
+    return out
+
+
 def shard_plan(plan, num_shards: int, halo: int,
                pool: int = 0) -> ShardedPlan:
     """Shard a host-built Topology (native/plan.py) for a full sharded

@@ -58,14 +58,33 @@ def _bn_eval(p, s, x, leakiness, eps=1e-4):
 
 def _pack_shard_arrays(sp) -> Tuple[list, list]:
     """ShardedPlan -> (levels, transitions) lists of array dicts, every
-    array with leading shard axis D."""
+    array with leading shard axis D. Each map also gets its extended-space
+    transpose (`spatial.transpose_ext_map`) so the convs can use the
+    scatter-free custom-VJP core — the generic autodiff backward of a
+    gathered-block matmul saves the [M, K*Cin] block (GBs at production
+    caps) and scatter-adds; the transpose-map backward does neither."""
+    from occuseg_tpu.parallel.spatial import transpose_ext_map
+
+    H, D = sp.halo, sp.num_shards
+
+    def ext_of(level):
+        S, P_ = level.nbr_local.shape[1], level.publish.shape[1]
+        return S + 2 * H + D * P_
+
     levels = [dict(nbr=l.nbr_local, sl=l.send_left, sr=l.send_right,
-                   pub=l.publish) for l in sp.levels]
-    trans = [dict(child=t["child"], c_sl=t["child_send_left"],
-                  c_sr=t["child_send_right"], c_pub=t["child_publish"],
-                  up=t["up"], u_sl=t["up_send_left"],
-                  u_sr=t["up_send_right"], u_pub=t["up_publish"])
-             for t in sp.transitions]
+                   pub=l.publish,
+                   nbr_t=transpose_ext_map(l.nbr_local, ext_of(l)))
+              for l in sp.levels]
+    trans = []
+    for ti, t in enumerate(sp.transitions):
+        fine, coarse = sp.levels[ti], sp.levels[ti + 1]
+        trans.append(dict(
+            child=t["child"], c_sl=t["child_send_left"],
+            c_sr=t["child_send_right"], c_pub=t["child_publish"],
+            child_t=transpose_ext_map(t["child"], ext_of(fine)),
+            up=t["up"], u_sl=t["up_send_left"],
+            u_sr=t["up_send_right"], u_pub=t["up_publish"],
+            up_t=transpose_ext_map(t["up"], ext_of(coarse))))
     to_j = lambda tree: jax.tree.map(jnp.asarray, tree)
     return to_j(levels), to_j(trans)
 
@@ -235,11 +254,23 @@ def _bn_train(p, s, x, n_local, leakiness, eps=1e-4, momentum=0.9,
 def _make_backbone_train_fn(n_planes, block_reps, residual_blocks, halo,
                             leakiness=0.0):
     """Per-shard train-mode _Backbone forward returning (features,
-    new_batch_stats) with the stats tree mirroring the flax modules'."""
+    new_batch_stats) with the stats tree mirroring the flax modules'.
+
+    Convs use the scatter-free custom-VJP core with the extended-space
+    transpose maps; JAX transposes extend_features itself (reverse
+    ppermute for the halos, publish-row scatter for the pool)."""
+    from occuseg_tpu.ops.conv import _gather_conv_fused_core
+
+    def _core(ext, m, m_t, w):
+        # pvary: replicated weights -> varying before the custom_vjp core,
+        # so the weight cotangent transposes through a psum (custom_vjp
+        # blocks shard_map's automatic replication inference)
+        return _gather_conv_fused_core(ext, m, m_t,
+                                       jax.lax.pvary(w, SPACE_AXIS))
 
     def conv(x, lv, w):
         ext = extend_features(x, lv["sl"], lv["sr"], lv["pub"], halo)
-        return gather_conv_fused(ext, lv["nbr"], w)
+        return _core(ext, lv["nbr"], lv["nbr_t"], w)
 
     def block(p, s, x, lv, na):
         ns = {}
@@ -265,13 +296,13 @@ def _make_backbone_train_fn(n_planes, block_reps, residual_blocks, halo,
         y, ns["down_bn"] = _bn_train(p["down_bn"], s["down_bn"], x,
                                      nact[li], leakiness)
         ext = extend_features(y, t["c_sl"], t["c_sr"], t["c_pub"], halo)
-        y = gather_conv_fused(ext, t["child"], p["down_conv"]["weight"])
+        y = _core(ext, t["child"], t["child_t"], p["down_conv"]["weight"])
         y, ns["inner"] = unet(p["inner"], s["inner"], y, levels, trans,
                               nact, li + 1)
         y, ns["up_bn"] = _bn_train(p["up_bn"], s["up_bn"], y, nact[li + 1],
                                    leakiness)
         ext = extend_features(y, t["u_sl"], t["u_sr"], t["u_pub"], halo)
-        y = gather_conv_fused(ext, t["up"], p["up_conv"]["weight"])
+        y = _core(ext, t["up"], t["up_t"], p["up_conv"]["weight"])
         x = jnp.concatenate([skip, y], axis=-1)
         for i in range(block_reps):
             x, ns[f"dec{i}"] = block(p[f"dec{i}"], s[f"dec{i}"], x,
