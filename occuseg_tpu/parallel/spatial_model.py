@@ -100,8 +100,10 @@ def _make_backbone_fn(n_planes, block_reps, residual_blocks, halo,
         return gather_conv_fused(ext, lv["nbr"], w)
 
     def block(p, s, x, lv):
+        from occuseg_tpu.ops.conv import nin
         if residual_blocks:
-            sc = (x @ p["shortcut"]["weight"]) if "shortcut" in p else x
+            sc = (nin(x, p["shortcut"]["weight"])
+                  if "shortcut" in p else x)
             y = _bn_eval(p["bn1"], s["bn1"], x, leakiness)
             y = conv(y, lv, p["conv1"]["weight"])
             y = _bn_eval(p["bn2"], s["bn2"], y, leakiness)
@@ -145,7 +147,8 @@ def _make_backbone_fn(n_planes, block_reps, residual_blocks, halo,
 def sharded_backbone_apply(variables, plan, point_features, mesh: Mesh,
                            n_planes, block_reps: int = 1,
                            residual_blocks: bool = True,
-                           halo: int = 512, pool: int = 512):
+                           halo: int = 512, pool: int = 512,
+                           compute_dtype=jnp.float32):
     """Eval _Backbone forward with the voxel pipeline sharded over
     `mesh`'s single 'space' axis. Returns per-point features [P, m],
     bit-comparable to `_Backbone.__call__(..., train=False)`."""
@@ -156,8 +159,9 @@ def sharded_backbone_apply(variables, plan, point_features, mesh: Mesh,
     levels, trans = _pack_shard_arrays(sp)
 
     cap0 = np.asarray(plan.levels[0].nbr).shape[0]
-    vox = pool_ops.voxelize_features(point_features, jnp.asarray(plan.p2v),
-                                     cap0, mode="mean")
+    vox = pool_ops.voxelize_features(
+        point_features.astype(compute_dtype), jnp.asarray(plan.p2v),
+        cap0, mode="mean")
     new_to_old0, old_to_new0 = sp.layouts[0]
     vox_sh = vox[jnp.asarray(new_to_old0)].reshape(D, cap0 // D, -1)
 
@@ -181,19 +185,20 @@ def sharded_backbone_apply(variables, plan, point_features, mesh: Mesh,
         out_specs=P(SPACE_AXIS),
     ))(vox_sh, levels, trans, p, s)
     out = out.reshape(cap0, -1)[jnp.asarray(old_to_new0)]
-    return pool_ops.devoxelize_features(out, jnp.asarray(plan.p2v))
+    return pool_ops.devoxelize_features(
+        out, jnp.asarray(plan.p2v)).astype(jnp.float32)
 
 
 def sharded_occuseg_infer(variables, plan, point_features, mesh: Mesh,
                           n_planes, block_reps: int = 1,
                           residual_blocks: bool = True,
-                          halo: int = 512, pool: int = 512
-                          ) -> OccuSegOutputs:
+                          halo: int = 512, pool: int = 512,
+                          compute_dtype=jnp.float32) -> OccuSegOutputs:
     """Full LearningBWDenseUNet eval forward (backbone sharded, heads
     pointwise) — same outputs as `model.apply(variables, ..., False)`."""
     feature = sharded_backbone_apply(variables, plan, point_features, mesh,
                                      n_planes, block_reps, residual_blocks,
-                                     halo, pool)
+                                     halo, pool, compute_dtype)
     top = variables["params"]
     pb = top["backbone"]  # InstanceDenseUNet scope
     y = _dense(pb["linear"], feature)
@@ -273,9 +278,11 @@ def _make_backbone_train_fn(n_planes, block_reps, residual_blocks, halo,
         return _core(ext, lv["nbr"], lv["nbr_t"], w)
 
     def block(p, s, x, lv, na):
+        from occuseg_tpu.ops.conv import nin
         ns = {}
         if residual_blocks:
-            sc = (x @ p["shortcut"]["weight"]) if "shortcut" in p else x
+            sc = (nin(x, p["shortcut"]["weight"])
+                  if "shortcut" in p else x)
             y, ns["bn1"] = _bn_train(p["bn1"], s["bn1"], x, na, leakiness)
             y = conv(y, lv, p["conv1"]["weight"])
             y, ns["bn2"] = _bn_train(p["bn2"], s["bn2"], y, na, leakiness)
@@ -345,7 +352,8 @@ def prepare_shard_args(plan, num_shards: int, halo: int = 512,
 
 def sharded_train_forward(variables, shard_args, plan_p2v, point_features,
                           mesh: Mesh, n_planes, block_reps: int = 1,
-                          residual_blocks: bool = True):
+                          residual_blocks: bool = True,
+                          compute_dtype=jnp.float32):
     """Differentiable train-mode forward (backbone sharded over `mesh`,
     per-point IO/heads unsharded — GSPMD places them). Returns
     (OccuSegOutputs, new_batch_stats). Matches the unsharded
@@ -358,8 +366,8 @@ def sharded_train_forward(variables, shard_args, plan_p2v, point_features,
     halo = shard_args["halo"]
     cap0 = new_to_old0.shape[0]
 
-    vox = pool_ops.voxelize_features(point_features, plan_p2v, cap0,
-                                     mode="mean")
+    vox = pool_ops.voxelize_features(
+        point_features.astype(compute_dtype), plan_p2v, cap0, mode="mean")
     vox_sh = vox[new_to_old0].reshape(D, cap0 // D, -1)
 
     p = variables["params"]
@@ -380,7 +388,8 @@ def sharded_train_forward(variables, shard_args, plan_p2v, point_features,
         out_specs=(P(SPACE_AXIS), rep(s)),
     )(vox_sh, levels, trans, [a[:, None] for a in nact], p, s)
     out = out.reshape(cap0, -1)[old_to_new0]
-    feature = pool_ops.devoxelize_features(out, plan_p2v)
+    feature = pool_ops.devoxelize_features(out, plan_p2v).astype(
+        jnp.float32)
 
     for sc in reversed(scopes):
         new_stats = {sc: new_stats}

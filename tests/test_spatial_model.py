@@ -185,3 +185,30 @@ def test_spatial_train_step_matches_unsharded_step():
     for k in pb:
         np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
                                    rtol=5e-3, atol=5e-5, err_msg=k)
+
+
+def test_sharded_infer_bf16_matches_unsharded_bf16():
+    """compute_dtype=bfloat16 sharded inference vs the unsharded bf16
+    model (the production mixed-precision recipe)."""
+    batch = make_batch(SceneConfig(num_points=2500, extent=40,
+                                   num_objects=6), 1, 4096, 16, seed=4)
+    plan = build_plan_host(batch["coords"], PlanSpec(caps=CAPS))
+    plan_j = jax.tree.map(jnp.asarray, plan)
+    pf = jnp.asarray(batch["features"])
+
+    model = LearningBWDenseUNet(n_planes=PLANES, num_classes=20,
+                                block_reps=1, residual_blocks=True,
+                                compute_dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(5), pf, plan_j, False)
+    ref = model.apply(variables, pf, plan_j, False)
+
+    mesh = Mesh(np.asarray(jax.devices()[:D]), (SPACE_AXIS,))
+    got = sharded_occuseg_infer(variables, plan, pf, mesh, PLANES,
+                                halo=256, pool=256,
+                                compute_dtype=jnp.bfloat16)
+    valid = np.asarray(plan.p2v) >= 0
+    a = np.asarray(ref.features, np.float32)[valid]
+    b = np.asarray(got.features, np.float32)[valid]
+    # bf16 activations: compare within a few bf16 ulps of the value scale
+    np.testing.assert_allclose(b, a, rtol=5e-2,
+                               atol=0.05 * np.abs(a).max())
