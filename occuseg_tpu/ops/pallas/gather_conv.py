@@ -81,10 +81,12 @@ def _kernel(nbr_ref, feats_ref, w_ref, out_ref):
     out_ref[:] = out_ref[:] + acc
 
 
-@functools.partial(jax.jit, static_argnames=("cin_block", "cout_block"))
+@functools.partial(jax.jit,
+                   static_argnames=("cin_block", "cout_block", "interpret"))
 def gather_conv_pallas(feats: jnp.ndarray, nbr_kn: jnp.ndarray,
                        weight: jnp.ndarray, cin_block: int = 128,
-                       cout_block: int = 128) -> jnp.ndarray:
+                       cout_block: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
     """feats [N, Cin] (bf16), nbr_kn [K, N] int32 (transposed layout),
     weight [K, Cin, Cout]. Returns [N, Cout] in feats.dtype."""
     N, Cin = feats.shape
@@ -97,11 +99,13 @@ def gather_conv_pallas(feats: jnp.ndarray, nbr_kn: jnp.ndarray,
     # packed keys) and under x64 some pallas-internal index constants become
     # int64, which Mosaic's convert lowering cannot express (it recurses).
     with jax.enable_x64(False):
-        out = _pallas_conv(feats, nbr_kn, w, cin_block, cout_block)
+        out = _pallas_conv(feats, nbr_kn, w, cin_block, cout_block,
+                           interpret)
     return out.astype(feats.dtype)
 
 
-def _pallas_conv(feats, nbr_kn, w, cin_block, cout_block):
+def _pallas_conv(feats, nbr_kn, w, cin_block, cout_block,
+                 interpret=False):
     N, Cin = feats.shape
     K = nbr_kn.shape[0]
     Cout = w.shape[2]
@@ -120,5 +124,6 @@ def _pallas_conv(feats, nbr_kn, w, cin_block, cout_block):
         out_specs=pl.BlockSpec((N, cout_block), lambda co, ci: (0, co),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Cout), jnp.float32),
+        interpret=interpret,
     )(nbr_kn, feats, w)
     return out
