@@ -157,3 +157,26 @@ def test_shard_plan_reconstruction_invariant():
         n = check(relaid, sh.nbr_local, sh.send_left, sh.send_right,
                   sh.publish, lay, lay, np.asarray(lvl.nbr).shape[0])
         assert n > 0, f"level {li} had no refs"
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_shard_plan_other_shard_counts(d):
+    """shard_plan correctness is not specific to D=8: zero drops and the
+    reconstruction invariant hold at other shard counts."""
+    batch = make_batch(SceneConfig(num_points=3000, extent=48,
+                                   num_objects=6), 1, 4096, 16, seed=5)
+    plan = build_plan_host(batch["coords"], PlanSpec(caps=CAPS))
+    sp = shard_plan(plan, d, HALO, pool=POOL)
+    assert sp.dropped == 0
+    # active-balanced layout: each shard's actives are a slot-range prefix
+    for li, (new_to_old, old_to_new) in enumerate(sp.layouts):
+        n = int(plan.levels[li].num_active)
+        cap = new_to_old.shape[0]
+        S = cap // d
+        active_new = np.sort(old_to_new[:n])
+        for dd in range(d):
+            in_shard = active_new[(active_new >= dd * S)
+                                  & (active_new < (dd + 1) * S)]
+            if in_shard.size:
+                assert in_shard[0] == dd * S
+                assert (np.diff(in_shard) == 1).all()
