@@ -63,6 +63,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     host_plan = build_plan_host(batch["coords"], spec)
+    if host_plan is not None:
+        # chunk rulebooks for the fused Pallas conv kernel
+        from occuseg_tpu.ops.pallas.chunk_conv import augment_plan_with_chunks
+        host_plan = augment_plan_with_chunks(host_plan)
     t_plan = time.perf_counter() - t0
     if host_plan is None:  # no C++ toolchain: build on device
         host_plan = jax.jit(

@@ -337,4 +337,53 @@ int32_t plan_downsample(const int64_t* fine_keys, const int32_t* fine_coords,
   return std::min(next + 1, cap_c);
 }
 
+// Chunk rulebook for the fused Pallas conv (ops/pallas/chunk_conv.py):
+// per chunk of M consecutive rows, the deduped referenced-row list
+// in_idx [C, U] (-1 pad) and chunk-local indices lidx [C, K, M]
+// (-1 missing). The GPU analog is the per-chunk input-address dedup of
+// the reference's chunk rulebooks (SubmanifoldRules_cuda.cpp:274+,
+// MAX_INPUT_ADDRESS). Returns the max unique count over chunks; if it
+// exceeds U the arrays are invalid and the caller falls back.
+int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
+                    int32_t U, int32_t* in_idx, int32_t* lidx) {
+  const int32_t C = cap / M;
+  int32_t max_uniq = 0;
+#pragma omp parallel
+  {
+    std::vector<int32_t> refs;
+    refs.reserve(static_cast<size_t>(M) * K);
+    int32_t local_max = 0;
+#pragma omp for schedule(dynamic, 8)
+    for (int32_t c = 0; c < C; ++c) {
+      refs.clear();
+      const int32_t* rows = nbr + static_cast<int64_t>(c) * M * K;
+      for (int32_t i = 0; i < M * K; ++i)
+        if (rows[i] >= 0) refs.push_back(rows[i]);
+      std::sort(refs.begin(), refs.end());
+      refs.erase(std::unique(refs.begin(), refs.end()), refs.end());
+      const int32_t u = static_cast<int32_t>(refs.size());
+      local_max = std::max(local_max, u);
+      if (u > U) continue;
+      int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
+      for (int32_t j = 0; j < U; ++j) ii[j] = j < u ? refs[j] : -1;
+      int32_t* ld = lidx + static_cast<int64_t>(c) * K * M;
+      for (int32_t m = 0; m < M; ++m) {
+        for (int32_t k = 0; k < K; ++k) {
+          const int32_t r = rows[m * K + k];
+          int32_t pos = -1;
+          if (r >= 0) {
+            pos = static_cast<int32_t>(
+                std::lower_bound(refs.begin(), refs.end(), r) -
+                refs.begin());
+          }
+          ld[k * M + m] = pos;  // [K, M] layout
+        }
+      }
+    }
+#pragma omp critical
+    max_uniq = std::max(max_uniq, local_max);
+  }
+  return max_uniq;
+}
+
 }  // extern "C"

@@ -64,6 +64,9 @@ class LevelTopology:
                                 # {0,2,4} for normal-guided filters
                                 # (reference Metadata.h:220-223 per-scale
                                 # normals); zeros = identity
+    chunks: object = None       # optional ops.pallas.chunk_conv.ChunkPlan
+                                # (host-built chunk rulebook for the fused
+                                # Pallas conv kernel; None = XLA path)
 
     @property
     def cap(self) -> int:

@@ -25,9 +25,11 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-s"], cwd=os.path.abspath(_CSRC),
-                           check=True, capture_output=True)
+        # make is a no-op when the .so is newer than native.cpp; running it
+        # unconditionally picks up source changes (a stale .so missing a
+        # newly added symbol would otherwise disable the whole native path)
+        subprocess.run(["make", "-s"], cwd=os.path.abspath(_CSRC),
+                       check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.segment_supervoxels.restype = ctypes.c_int32
         lib.segment_supervoxels.argtypes = [
@@ -51,6 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_downsample.argtypes = [i64p, i32p, ctypes.c_int32,
                                         ctypes.c_int32, ctypes.c_int32,
                                         i64p, i32p, i32p, i32p]
+        lib.plan_chunks.restype = ctypes.c_int32
+        lib.plan_chunks.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    i32p, i32p]
         _lib = lib
     except Exception:
         _lib = None
@@ -89,3 +95,26 @@ def voxelize_points_native(coords: np.ndarray) -> Optional[np.ndarray]:
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), c.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def plan_chunks_native(nbr: np.ndarray, M: int, U: int):
+    """Chunk rulebook via C++ (csrc/native.cpp::plan_chunks).
+
+    Returns None when the library is unavailable (caller uses NumPy),
+    (None, max_uniq) on chunk overflow (> U unique refs), else
+    (in_idx [C,U] int32, lidx [C,K,M] int32)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    cap, K = nbr.shape
+    C = cap // M
+    in_idx = np.empty((C, U), np.int32)
+    lidx = np.empty((C, K, M), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    max_uniq = lib.plan_chunks(
+        nbr.ctypes.data_as(i32p), cap, K, M, U,
+        in_idx.ctypes.data_as(i32p), lidx.ctypes.data_as(i32p))
+    if max_uniq > U:
+        return (None, max_uniq)
+    return in_idx, lidx

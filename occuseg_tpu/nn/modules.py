@@ -26,6 +26,11 @@ from occuseg_tpu.ops import norm as norm_ops
 from occuseg_tpu.ops import pool as pool_ops
 
 
+def _chunk_supported(cap: int, cin: int, cout: int) -> bool:
+    from occuseg_tpu.ops.pallas.chunk_conv import supported
+    return supported(cap, cin, cout)
+
+
 def _he_conv_init(volume: int):
     def init(key, shape, dtype=jnp.float32):
         cin = shape[1]
@@ -66,6 +71,16 @@ class SubmanifoldConvolution(nn.Module):
         if self.normal_guided:
             from occuseg_tpu.ops.normal_guide import normal_guided_conv
             out = normal_guided_conv(x.features, nbr, lvl.orient, w, b)
+        elif lvl.chunks is not None and _chunk_supported(
+                nbr.shape[0], x.num_channels, self.out_features):
+            # host-built chunk rulebook present: fused Pallas kernel
+            # (ops/pallas/chunk_conv.py — VMEM-staged inputs, one-hot MXU
+            # permutation; the reference chunk kernel's TPU analog)
+            from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv
+            out = chunk_gather_conv(x.features, lvl.chunks.in_idx,
+                                    lvl.chunks.lidx, w)
+            if b is not None:
+                out = out + b.astype(out.dtype)
         else:
             out = conv_ops.gather_conv(x.features, nbr, w, b)
         return dataclasses.replace(x, features=out)

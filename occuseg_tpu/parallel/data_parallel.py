@@ -39,26 +39,39 @@ def make_dp_train_step(model, spec: PlanSpec, mesh: Mesh,
     """Jitted data-parallel train step.
 
     `batch` arrays must carry a leading device axis [D, ...] (one scene-group
-    per chip, padded identically). State is replicated; gradients are
-    pmean-reduced over ICI inside the shard_mapped step.
+    per chip, padded identically; optional "_w" [D] per-device loss weights
+    for remainder groups). `plans` is the host-built topology pytree stacked
+    the same way (`stack_plans`) — plan construction NEVER runs inside the
+    trace, matching the single-device fast path where the C++ builder
+    (`native/plan.py`) overlaps with device compute in the loader thread.
+    State is replicated; gradients are psum-reduced over ICI inside the
+    shard_mapped step.
     """
     step = make_train_step(model, spec, cfg, loss_cfg, num_scenes,
                            num_instances, axis_name=DATA_AXIS)
 
-    def sharded(state: TrainState, batch: Dict[str, jax.Array]):
-        def per_device(state, batch):
+    def sharded(state: TrainState, batch: Dict[str, jax.Array], plans):
+        def per_device(state, batch, plans):
             # strip the leading per-device axis of size 1
             local = jax.tree.map(lambda x: x[0], batch)
-            new_state, parts = step(state, local)
+            local_plan = jax.tree.map(lambda x: x[0], plans)
+            new_state, parts = step(state, local, local_plan)
             return new_state, parts
 
         return jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P()),
-        )(state, batch)
+        )(state, batch, plans)
 
     return jax.jit(sharded)
+
+
+def stack_plans(plans: Sequence):
+    """Stack D per-device Topology pytrees into one with a leading [D] axis
+    (NumPy — runs in the loader thread, off the device critical path)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *plans)
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
@@ -66,6 +79,12 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh
     """Place host-stacked [D, ...] arrays on the mesh's data axis."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_plans(plans, mesh: Mesh):
+    """Place a `stack_plans` result on the mesh's data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), plans)
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:

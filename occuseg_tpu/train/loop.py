@@ -30,6 +30,7 @@ from occuseg_tpu.parallel.data_parallel import (
     make_mesh,
     replicate_state,
     shard_batch,
+    shard_plans,
 )
 from occuseg_tpu.train import checkpoint as ckpt
 from occuseg_tpu.train.config import plan_caps
@@ -126,6 +127,65 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                         plan, spatial["shards"], halo=spatial["halo"],
                         pool=spatial["pool"])
                 q.put((b, plan, bi))
+        finally:
+            q.put(DONE)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        yield item
+
+
+def _host_plan_any(coords: np.ndarray, spec) -> object:
+    """Host plan via the C++ builder, or the jitted builder as fallback
+    (returns NumPy leaves either way)."""
+    from occuseg_tpu.core.topology import build_plan
+    from occuseg_tpu.native.plan import build_plan_host
+
+    plan = build_plan_host(coords, spec)
+    if plan is None:
+        plan = jax.device_get(
+            jax.jit(lambda c: build_plan(c, spec))(jnp.asarray(coords)))
+    return plan
+
+
+def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
+                       depth: int = 2
+                       ) -> Iterator[Tuple[Dict, object, int]]:
+    """Group `n_dev` consecutive per-device batches, build each one's
+    topology plan on the host, and yield (stacked_batch, stacked_plans, 0)
+    — all prepared one group ahead in a worker thread so no plan is ever
+    built inside the DP trace (VERDICT r1 #2).
+
+    The epoch's remainder group is padded with copies of its last batch at
+    loss weight 0 ("_w"), so no scenes are dropped."""
+    from occuseg_tpu.parallel.data_parallel import stack_plans
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def pack(group, weights):
+        plans = [_host_plan_any(b["coords"], spec) for b in group]
+        stacked = {k: np.stack([b[k] for b in group])
+                   for k in group[0] if k != "region"}
+        stacked["_w"] = np.asarray(weights, np.float32)
+        return stacked, stack_plans(plans), 0
+
+    def worker():
+        try:
+            group = []
+            for b in batches:
+                group.append(b)
+                if len(group) == n_dev:
+                    q.put(pack(group, [1.0] * n_dev))
+                    group = []
+            if group:
+                pad = n_dev - len(group)
+                w = [1.0] * len(group) + [0.0] * pad
+                q.put(pack(group + [group[-1]] * pad, w))
         finally:
             q.put(DONE)
 
@@ -235,15 +295,10 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             batches = dataset.train_batches(rng, p_cap, i_cap, batch_per_dev)
             if n_dev > 1:
                 # group n_dev consecutive per-device batches (each a whole
-                # set of scenes — never split a scene's rows across chips)
-                def grouped(it):
-                    group = []
-                    for b in it:
-                        group.append(b)
-                        if len(group) == n_dev:
-                            yield group, None, 0
-                            group = []
-                source = grouped(batches)
+                # set of scenes — never split a scene's rows across chips);
+                # host plans are built in the prefetch thread and fed to the
+                # step as sharded pytree inputs
+                source = dp_plan_prefetcher(batches, spec, n_dev)
             else:
                 spatial = (dict(shards=n_spatial,
                                 halo=int(config.get("spatial_halo", 4096)),
@@ -255,7 +310,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
-                if host_plan is not None and n_spatial <= 1:
+                if host_plan is not None and n_spatial <= 1 and n_dev == 1:
                     # per-epoch MulAdd/hidden counters, protocol parity with
                     # the reference's per-epoch printout
                     # (train_instance.py:459-462)
@@ -268,12 +323,24 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                             for i, l in enumerate(host_plan.levels)),
                         scenes=batch_per_dev)
                 if n_dev > 1:
-                    group = [{k: v for k, v in b.items() if k != "region"}
-                             for b in raw]
-                    stacked = {k: np.stack([b[k] for b in group])
-                               for k in group[0]}
-                    batch = shard_batch(stacked, mesh)
-                    state, parts = step_fn(state, batch)
+                    # host_plan is the [D]-stacked plan pytree; count the
+                    # real (weight-1) devices' plans
+                    for d in range(n_dev):
+                        if raw["_w"][d] <= 0:
+                            continue
+                        plan_d = jax.tree.map(lambda x: x[d], host_plan)
+                        counters.add(
+                            plan_muladd_count(
+                                plan_d, planes, config.get("block_reps", 1),
+                                config.get("residual_blocks", True),
+                                config["input_feature_number"]),
+                            sum(int(l.num_active)
+                                * planes[min(i, len(planes) - 1)]
+                                for i, l in enumerate(plan_d.levels)),
+                            scenes=batch_per_dev)
+                    batch = shard_batch(raw, mesh)
+                    plans = shard_plans(host_plan, mesh)
+                    state, parts = step_fn(state, batch, plans)
                 elif n_spatial > 1:
                     raw = {k: v for k, v in raw.items() if k != "region"}
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}

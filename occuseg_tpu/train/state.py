@@ -97,7 +97,7 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
     """
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch_stats, batch, plan):
+    def loss_fn(params, batch_stats, batch, plan, w):
         if plan is None:
             plan = build_plan(batch["coords"], spec)
         outputs, mutated = model.apply(
@@ -105,19 +105,35 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
             batch["features"], plan, True, mutable=["batch_stats"])
         total, parts = occuseg_total_loss(
             outputs, batch, num_scenes, num_instances, loss_cfg)
+        if w is not None:
+            # per-device weight (DP remainder groups pad with w=0 copies so
+            # no epoch batch is dropped); grad(w*L) = w*grad(L), psum'd and
+            # normalized by psum(w) below
+            total = total * w
         return total, (parts, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    plan=None) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """`plan`: optional precomputed Topology (host-built,
-        `native/plan.py`); None builds it in-jit."""
+        `native/plan.py`); None builds it in-jit. batch may carry "_w", a
+        per-device scalar loss weight (0 = padding device)."""
+        batch = dict(batch)
+        w = batch.pop("_w", None)
         (_, (parts, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   plan)
+                                   plan, w)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            parts = jax.lax.pmean(parts, axis_name)
-            new_stats = jax.lax.pmean(new_stats, axis_name)
+            if w is not None:
+                denom = jnp.maximum(jax.lax.psum(w, axis_name), 1e-8)
+                psum_mean = lambda t, s: jax.tree.map(
+                    lambda x: jax.lax.psum(x * s, axis_name) / denom, t)
+                grads = psum_mean(grads, 1.0)  # loss already scaled by w
+                parts = psum_mean(parts, w)
+                new_stats = psum_mean(new_stats, w)
+            else:
+                grads = jax.lax.pmean(grads, axis_name)
+                parts = jax.lax.pmean(parts, axis_name)
+                new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(params=new_params, batch_stats=new_stats,

@@ -1,0 +1,165 @@
+"""Chunked one-hot Pallas conv (ops/pallas/chunk_conv.py) vs the XLA path.
+
+Runs the kernel in interpret mode on CPU; the same code compiles on TPU
+(Mosaic) — verified on silicon in round 2 (experiments/exp_r2_a/b).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from occuseg_tpu.core.topology import PlanSpec
+from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+from occuseg_tpu.native.plan import build_plan_host
+from occuseg_tpu.ops.conv import gather_conv
+from occuseg_tpu.ops.pallas.chunk_conv import (
+    augment_plan_with_chunks,
+    build_chunk_arrays,
+    chunk_gather_conv,
+)
+
+M, U = 64, 160
+CAP = 512
+K = 27
+
+
+def _real_plan():
+    spec = PlanSpec(caps=(CAP, 256))
+    batch = make_batch(SceneConfig(num_points=1200, extent=48, num_objects=5),
+                       num_scenes=1, p_cap=2048, num_instances=8, seed=3)
+    plan = build_plan_host(batch["coords"], spec)
+    assert plan is not None, "native planner required for this test"
+    return plan
+
+
+def test_chunk_arrays_roundtrip():
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    arrs = build_chunk_arrays(nbr, M, U)
+    assert arrs is not None, "U too small for this scene"
+    in_idx, lidx = arrs
+    C = CAP // M
+    assert in_idx.shape == (C, U) and lidx.shape == (C, K, M)
+    # reconstruct nbr from (in_idx, lidx) and compare exactly
+    rec = np.full_like(nbr, -1)
+    for c in range(C):
+        l = lidx[c]  # [K, M]
+        hit = l >= 0
+        rec_rows = np.where(hit, in_idx[c][np.clip(l, 0, U - 1)], -1)
+        rec[c * M:(c + 1) * M] = rec_rows.T
+    np.testing.assert_array_equal(rec, nbr)
+
+
+def test_forward_matches_xla_path():
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    ref = gather_conv(feats, jnp.asarray(nbr), w)
+    out = chunk_gather_conv(feats, jnp.asarray(in_idx), jnp.asarray(lidx), w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_xla_path():
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((CAP, 8)), jnp.float32)
+
+    def loss_ref(f, ww):
+        return jnp.sum((gather_conv(f, jnp.asarray(nbr), ww) - tgt) ** 2)
+
+    def loss_chunk(f, ww):
+        o = chunk_gather_conv(f, jnp.asarray(in_idx), jnp.asarray(lidx), ww)
+        return jnp.sum((o - tgt) ** 2)
+
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gf_c, gw_c = jax.grad(loss_chunk, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_augment_plan_and_module_path():
+    """Model forward with chunked plan == forward with plain plan."""
+    from occuseg_tpu.core.sparse_tensor import SparseTensor
+    from occuseg_tpu.nn.modules import SubmanifoldConvolution
+
+    plan = _real_plan()
+    aug = augment_plan_with_chunks(plan, M=M, U=U)
+    assert aug.levels[0].chunks is not None
+    plan_j = jax.tree.map(jnp.asarray, plan)
+    aug_j = jax.tree.map(jnp.asarray, aug)
+
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    x = SparseTensor(features=feats,
+                     num_active=plan_j.levels[0].num_active, level=0)
+    mod = SubmanifoldConvolution(out_features=8)
+    vars_ = mod.init(jax.random.PRNGKey(0), x, plan_j)
+    ref = mod.apply(vars_, x, plan_j).features
+    out = mod.apply(vars_, x, aug_j).features
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_forward_close():
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    ref = gather_conv(feats, jnp.asarray(nbr), w)
+    out = chunk_gather_conv(feats, jnp.asarray(in_idx), jnp.asarray(lidx), w)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.1)
+
+
+def test_k_grouping_and_cout_blocking_paths(monkeypatch):
+    """Force KG>1 and n_co>1 so the grid-accumulation paths are exercised."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(7)
+    cin, cout = 16, 256  # n_co = 2 at co_blk=128
+    feats = jnp.asarray(rng.standard_normal((CAP, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, cin, cout)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((CAP, cout)), jnp.float32)
+    # cell budget that forces G=9 (3 k-groups) at M=64, cin=16, f32
+    co_blk = cc._co_block(cout)
+    monkeypatch.setattr(cc, "_CELL_BUDGET",
+                        M * 9 * cin * 4 + 2 * 9 * cin * co_blk * 4)
+    assert cc._k_grouping(K, M, cin, co_blk, 4, 4) == 9
+
+    ref = gather_conv(feats, jnp.asarray(nbr), w)
+    out = cc.chunk_gather_conv(feats, jnp.asarray(in_idx),
+                               jnp.asarray(lidx), w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_ref(f, ww):
+        return jnp.sum((gather_conv(f, jnp.asarray(nbr), ww) - tgt) ** 2)
+
+    def loss_chunk(f, ww):
+        o = cc.chunk_gather_conv(f, jnp.asarray(in_idx),
+                                 jnp.asarray(lidx), ww)
+        return jnp.sum((o - tgt) ** 2)
+
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gf_c, gw_c = jax.grad(loss_chunk, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)

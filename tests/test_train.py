@@ -56,6 +56,14 @@ def test_eval_step_runs():
     assert np.isfinite(np.asarray(out.semantics)).all()
 
 
+def _stacked_plans(per_dev_batches, mesh):
+    from occuseg_tpu.parallel.data_parallel import shard_plans, stack_plans
+    from occuseg_tpu.train.loop import _host_plan_any
+
+    plans = [_host_plan_any(b["coords"], SPEC) for b in per_dev_batches]
+    return shard_plans(stack_plans(plans), mesh)
+
+
 def test_data_parallel_training_on_8_virtual_devices():
     n_dev = len(jax.devices())
     assert n_dev == 8, f"conftest should give 8 CPU devices, got {n_dev}"
@@ -64,6 +72,7 @@ def test_data_parallel_training_on_8_virtual_devices():
                for d in range(n_dev)]
     stacked = {k: np.stack([b[k] for b in per_dev]) for k in per_dev[0]}
     batch = shard_batch(stacked, mesh)
+    plans = _stacked_plans(per_dev, mesh)
 
     state = create_train_state(
         MODEL, jax.random.PRNGKey(2),
@@ -71,9 +80,9 @@ def test_data_parallel_training_on_8_virtual_devices():
     state = replicate_state(state, mesh)
     dp_step = make_dp_train_step(MODEL, SPEC, mesh, num_scenes=1,
                                  num_instances=I_CAP)
-    state, parts = dp_step(state, batch)
+    state, parts = dp_step(state, batch, plans)
     assert np.isfinite(float(parts["total"]))
-    state, parts2 = dp_step(state, batch)
+    state, parts2 = dp_step(state, batch, plans)
     assert np.isfinite(float(parts2["total"]))
     # replicated params remain identical across devices after update
     p0 = jax.tree_util.tree_leaves(state.params)[0]
@@ -87,6 +96,7 @@ def test_dp_matches_mean_of_single_device_grads():
     stacked = {k: np.stack([b[k]] * 8) for k in b}
     batch = shard_batch(stacked, mesh)
     jb = {k: jnp.asarray(v) for k, v in b.items()}
+    plans = _stacked_plans([b] * 8, mesh)
 
     state = create_train_state(MODEL, jax.random.PRNGKey(3), jb, SPEC)
     sstate = jax.tree.map(lambda x: x, state)
@@ -96,13 +106,55 @@ def test_dp_matches_mean_of_single_device_grads():
     single = jax.jit(make_train_step(MODEL, SPEC, num_scenes=1,
                                      num_instances=I_CAP))
     dstate = replicate_state(state, mesh)
-    dstate, dparts = dp_step(dstate, batch)
+    dstate, dparts = dp_step(dstate, batch, plans)
     sstate, sparts = single(sstate, jb)
     np.testing.assert_allclose(float(dparts["total"]), float(sparts["total"]),
                                rtol=1e-5)
     d_leaf = np.asarray(jax.tree_util.tree_leaves(dstate.params)[3])
     s_leaf = np.asarray(jax.tree_util.tree_leaves(sstate.params)[3])
     np.testing.assert_allclose(d_leaf, s_leaf, rtol=1e-4, atol=1e-6)
+
+
+def test_dp_weighted_remainder_matches_unpadded_group():
+    """A group padded with w=0 copies must produce the same update as the
+    unpadded group on fewer devices (no scene double-counted)."""
+    from occuseg_tpu.parallel.data_parallel import shard_plans, stack_plans
+    from occuseg_tpu.train.loop import _host_plan_any
+
+    n_dev = len(jax.devices())
+    real = [make_batch(SCENE, 1, P_CAP, I_CAP, seed=50 + d)
+            for d in range(3)]
+    jb = {k: jnp.asarray(v) for k, v in real[0].items()}
+    state0 = create_train_state(MODEL, jax.random.PRNGKey(7), jb, SPEC)
+
+    # padded to 8 devices with weight-0 copies of the last batch
+    mesh8 = make_mesh()
+    group = real + [real[-1]] * (n_dev - 3)
+    w = np.asarray([1.0] * 3 + [0.0] * (n_dev - 3), np.float32)
+    stacked = {k: np.stack([b[k] for b in group]) for k in group[0]}
+    stacked["_w"] = w
+    batch8 = shard_batch(stacked, mesh8)
+    plans8 = shard_plans(stack_plans(
+        [_host_plan_any(b["coords"], SPEC) for b in group]), mesh8)
+    dp8 = make_dp_train_step(MODEL, SPEC, mesh8, num_scenes=1,
+                             num_instances=I_CAP)
+    s8, parts8 = dp8(replicate_state(state0, mesh8), batch8, plans8)
+
+    # reference: unweighted group on 3 devices (uses pmean path)
+    mesh3 = make_mesh(3)
+    stacked3 = {k: np.stack([b[k] for b in real]) for k in real[0]}
+    batch3 = shard_batch(stacked3, mesh3)
+    plans3 = shard_plans(stack_plans(
+        [_host_plan_any(b["coords"], SPEC) for b in real]), mesh3)
+    dp3 = make_dp_train_step(MODEL, SPEC, mesh3, num_scenes=1,
+                             num_instances=I_CAP)
+    s3, parts3 = dp3(replicate_state(state0, mesh3), batch3, plans3)
+
+    np.testing.assert_allclose(float(parts8["total"]),
+                               float(parts3["total"]), rtol=1e-5)
+    l8 = np.asarray(jax.tree_util.tree_leaves(s8.params)[3])
+    l3 = np.asarray(jax.tree_util.tree_leaves(s3.params)[3])
+    np.testing.assert_allclose(l8, l3, rtol=1e-4, atol=1e-6)
 
 
 def test_overfits_single_scene():
