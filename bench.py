@@ -64,9 +64,21 @@ def main() -> None:
     t0 = time.perf_counter()
     host_plan = build_plan_host(batch["coords"], spec)
     if host_plan is not None:
-        # chunk rulebooks for the fused Pallas conv kernel
+        # chunk rulebooks for the fused Pallas conv kernel; geometry
+        # overridable for sweeps (OCC_CHUNK_M=128 OCC_CHUNK_U=240,320,...)
+        import os
         from occuseg_tpu.ops.pallas.chunk_conv import augment_plan_with_chunks
-        host_plan = augment_plan_with_chunks(host_plan)
+        m_env = int(os.environ.get("OCC_CHUNK_M", 0) or 0)
+        u_env = os.environ.get("OCC_CHUNK_U")
+        kw = {}
+        if m_env:
+            kw["M"] = m_env
+        if u_env:
+            kw["U"] = tuple(int(x) for x in u_env.split(","))
+        host_plan = augment_plan_with_chunks(host_plan, **kw)
+        n_chunked = sum(l.chunks is not None for l in host_plan.levels)
+        print(f"chunked levels: {n_chunked}/{len(host_plan.levels)}",
+              file=sys.stderr)
     t_plan = time.perf_counter() - t0
     if host_plan is None:  # no C++ toolchain: build on device
         host_plan = jax.jit(
@@ -118,6 +130,42 @@ def main() -> None:
     print(f"fwd+bwd step: {dt * 1e3:.1f} ms", file=sys.stderr)
 
     voxels_per_sec = num_voxels / dt
+
+    # ---- secondary line: the FULL flagship training step (the reference
+    # workload: LearningBWDenseUNet + 6-term loss + Adam update), so the
+    # recorded context matches train_instance.sh, not just the backbone ----
+    try:
+        from occuseg_tpu.models import LearningBWDenseUNet
+        from occuseg_tpu.train.state import create_train_state, \
+            make_train_step
+
+        flagship = LearningBWDenseUNet(
+            n_planes=N_PLANES, num_classes=20,
+            compute_dtype=jnp.bfloat16)
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = create_train_state(flagship, jax.random.PRNGKey(0), batch_j,
+                                   spec)
+        step = jax.jit(make_train_step(flagship, spec, num_scenes=NUM_SCENES,
+                                       num_instances=64))
+        state, parts = step(state, batch_j, plan)
+        jax.block_until_ready(parts)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, parts = step(state, batch_j, plan)
+        jax.block_until_ready(parts)
+        dt_full = (time.perf_counter() - t0) / 5
+        print(f"flagship train step: {dt_full * 1e3:.1f} ms",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "flagship_train_step_voxels_per_sec_per_chip",
+            "value": round(num_voxels / dt_full, 1),
+            "unit": "voxels/s",
+            "vs_baseline": round(num_voxels / dt_full
+                                 / GV100_EST_VOXELS_PER_SEC, 3),
+        }))
+    except Exception as e:  # never lose the headline metric
+        print(f"flagship step bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "unet_m64_fwd_bwd_voxels_per_sec_per_chip",
         "value": round(voxels_per_sec, 1),

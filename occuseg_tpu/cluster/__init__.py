@@ -6,6 +6,7 @@ from occuseg_tpu.cluster.refine import (
     region_semantic_probability,
 )
 from occuseg_tpu.cluster.evaluator import (
+    instance_average_precision,
     filter_proposals,
     instance_precision_recall,
 )

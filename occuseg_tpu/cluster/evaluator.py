@@ -95,3 +95,71 @@ def instance_precision_recall(
         "mRecall": float(np.nanmean(r[np.isfinite(r)]))
         if np.isfinite(r).any() else 0.0,
     }
+
+
+def instance_average_precision(
+        all_proposals: Sequence[List[List[np.ndarray]]],
+        all_instances: Sequence[List[List[np.ndarray]]],
+        all_confidences: Optional[Sequence[List[List[float]]]] = None,
+        iou_threshold: float = 0.5, num_classes: int = 20
+) -> Dict[str, float]:
+    """Benchmark-grade instance AP (the ScanNet protocol): proposals ranked
+    by confidence, greedy ONE-TO-ONE matching against unmatched GT
+    (duplicate detections of one GT are false positives — unlike the
+    reference's precision-as-"mAP" which double-counts them,
+    `evaluate_instance.py:1703-1741`), AP = area under the interpolated
+    precision-recall curve, averaged over classes with ground truth.
+
+    `all_confidences[s][c][i]` scores proposal i of class c in scene s;
+    defaults to 1.0 (ties broken by input order, matching submission
+    writers that emit uniform confidence).
+    """
+    ap = np.full(num_classes, np.nan)
+    for c in range(num_classes):
+        dets = []  # (confidence, scene, proposal mask)
+        n_gt = 0
+        for s, (props, insts) in enumerate(zip(all_proposals,
+                                               all_instances)):
+            n_gt += len(insts[c])
+            for i, u in enumerate(props[c]):
+                conf = (all_confidences[s][c][i]
+                        if all_confidences is not None else 1.0)
+                dets.append((float(conf), s, u))
+        if n_gt == 0:
+            continue
+        if not dets:
+            ap[c] = 0.0
+            continue
+        dets.sort(key=lambda t: -t[0])
+        matched = [np.zeros(len(insts[c]), bool) for insts in all_instances]
+        tp = np.zeros(len(dets))
+        for d, (_, s, u) in enumerate(dets):
+            best, best_j = 0.0, -1
+            for j, v in enumerate(all_instances[s][c]):
+                if matched[s][j]:
+                    continue
+                inter = np.sum(u & v)
+                union = np.sum(u | v)
+                iou = inter / union if union else 0.0
+                if iou > best:
+                    best, best_j = iou, j
+            if best >= iou_threshold and best_j >= 0:
+                tp[d] = 1.0
+                matched[s][best_j] = True
+        cum_tp = np.cumsum(tp)
+        precision = cum_tp / (np.arange(len(dets)) + 1)
+        recall = cum_tp / n_gt
+        # precision envelope + all-point interpolation (VOC2010/ScanNet)
+        prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+        r_prev = 0.0
+        area = 0.0
+        for d in range(len(dets)):
+            if tp[d]:
+                area += (recall[d] - r_prev) * prec_env[d]
+                r_prev = recall[d]
+        ap[c] = area
+    valid = np.isfinite(ap)
+    return {
+        "ap_per_class": ap,
+        "mAP": float(np.mean(ap[valid])) if valid.any() else 0.0,
+    }

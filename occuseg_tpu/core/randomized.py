@@ -139,3 +139,34 @@ def build_randomized_transition(fine: LevelTopology,
 
     tr = LevelTransition(child=child, up=up, size=size, stride=stride)
     return coarse, tr
+
+
+def build_randomized_plan(point_coords: jnp.ndarray, spec, rng, extent: int):
+    """Full multi-scale Topology whose every transition uses jittered
+    stride windows — what a network of RandomizedStrideConvolution /
+    RandomizedStrideMaxPooling modules consumes (reference
+    `randomizedStrideConvolution.py`: fresh jittered rulebooks per train
+    forward; regular strides at test time come from the normal builder).
+
+    Host-side per batch (tick tables are drawn from `rng`, a
+    numpy Generator); levels/maps reuse the jitted machinery eagerly.
+    """
+    from occuseg_tpu.core.topology import Topology, voxelize_coords
+
+    keys0, p2v = voxelize_coords(jnp.asarray(point_coords), spec.caps[0])
+    num_points = jnp.sum(
+        (C.pack(jnp.asarray(point_coords)) < C.KEY_PAD).astype(jnp.int32))
+    levels = [build_level(keys0, spec.kernel, spec.dilation)]
+    transitions = []
+    ext = extent
+    for li in range(1, spec.num_levels):
+        coarse, tr = build_randomized_transition(
+            levels[-1], rng, spec.down_size, spec.down_stride,
+            spec.caps[li], ext, kernel=spec.kernel)
+        levels.append(coarse)
+        transitions.append(tr)
+        ext = max(len(randomized_ticks(np.random.default_rng(0), ext,
+                                       spec.down_size, spec.down_stride)),
+                  2)
+    return Topology(levels=tuple(levels), transitions=tuple(transitions),
+                    p2v=p2v, num_points=num_points)

@@ -82,6 +82,9 @@ class LevelTransition:
     up: jnp.ndarray     # int32 [N_cap, Kd^3] coarse rows per fine site
     size: int = dataclasses.field(metadata=dict(static=True), default=2)
     stride: int = dataclasses.field(metadata=dict(static=True), default=2)
+    child_chunks: object = None  # optional ChunkPlan over `child` (fused
+    up_chunks: object = None     # Pallas strided conv) and over `up`
+                                 # (deconv); see ops/pallas/chunk_conv.py
 
 
 @jax.tree_util.register_dataclass
@@ -231,6 +234,50 @@ def downsample_keys(level: LevelTopology, size: int, stride: int, cap: int
     skeys = jnp.sort(all_keys)
     unique_keys, _, _ = C.compact_unique(skeys, cap)
     return unique_keys
+
+
+def grow_keys(level: LevelTopology, size: int, stride: int, cap_out: int
+              ) -> jnp.ndarray:
+    """Output-site keys of a FULL (active-set-growing) transposed conv:
+    every site c contributes outputs at c*stride + off for all off in
+    [0, size)^3 (reference `FullConvolutionRules.h:11-56` — swapped
+    input/output region calculators creating a NEW Metadata). Sorted
+    unique padded keys of the grown set."""
+    c = level.coords
+    offs = jnp.asarray(_even_offsets(size))          # [K, 3]
+    sp = c[None, :, 1:] * stride + offs[:, None, :]  # [K, N, 3]
+    cand = jnp.concatenate(
+        [jnp.broadcast_to(c[None, :, :1], (offs.shape[0],) + c[:, :1].shape),
+         sp], axis=-1)
+    cand = jnp.where(c[None, :, :1] >= 0, cand, -1)
+    skeys = jnp.sort(C.pack(cand.reshape(-1, 4)))
+    unique_keys, _, _ = C.compact_unique(skeys, cap_out)
+    return unique_keys
+
+
+def full_conv_plan(level: LevelTopology, size: int, stride: int,
+                   cap_out: int, kernel: int = 3,
+                   build_nbr: bool = True
+                   ) -> Tuple[LevelTopology, LevelTransition]:
+    """Grown output level + its transition from `level` for FullConvolution
+    / TransposeConvolution (`fullConvolution.py:48-65` fullForward with a
+    fresh Metadata). The returned transition's `up` map gathers input rows
+    per output site (the conv itself = deconv over this transition); its
+    `child` map is the exact transpose for the scatter-free backward.
+    `build_nbr=False` skips the grown level's submanifold neighbor map when
+    no further same-level convs follow."""
+    out_keys = grow_keys(level, size, stride, cap_out)
+    if build_nbr:
+        out_level = build_level(out_keys, kernel)
+    else:
+        coords = C.unpack(out_keys)
+        out_level = LevelTopology(
+            keys=out_keys, coords=coords,
+            num_active=jnp.sum((out_keys < C.KEY_PAD).astype(jnp.int32)),
+            nbr=jnp.full((cap_out, 1), -1, jnp.int32),
+            orient=jnp.zeros((cap_out,), jnp.int32))
+    tr = build_transition(out_level, level, size, stride)
+    return out_level, tr
 
 
 def build_transition(fine: LevelTopology, coarse: LevelTopology,

@@ -141,7 +141,8 @@ class ScanNetData:
         rows: Dict[str, List[np.ndarray]] = {
             k: [] for k in ("coords", "features", "labels", "instance_id",
                             "point_scene", "pose", "offsets",
-                            "displacements", "occupancy", "region")}
+                            "displacements", "occupancy", "region",
+                            "normals")}
         inst_base = 0
         per_scene_cap = i_cap // max(len(scene_ids), 1)
         region_base = 0
@@ -205,6 +206,13 @@ class ScanNetData:
             rows["displacements"].append(displacements)
             rows["occupancy"].append(occupancy)
             rows["region"].append(region_l.astype(np.int32))
+            # per-point normals for --use_normal plan orientation classes
+            # (rotated with the scene like feature normals)
+            nrm = np.asarray(scene.get("normals", np.zeros((keep.size, 3))),
+                             np.float32)[keep]
+            if rot is not None:
+                nrm = (nrm @ rot).astype(np.float32)
+            rows["normals"].append(nrm)
 
         cat = {k: np.concatenate(v) for k, v in rows.items()}
         n_total = cat["labels"].shape[0]
@@ -230,6 +238,7 @@ class ScanNetData:
             "displacements": pad(cat["displacements"], 0),
             "occupancy": pad(cat["occupancy"], 0),
             "region": pad(cat["region"], -1),
+            "normals": pad(cat["normals"], 0),
         }
 
     def _features(self, a, colors, scene, keep, training,

@@ -52,8 +52,12 @@ def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
     n_wall = n // 8
     floor = surface_points(n_floor, "floor")
     wall = surface_points(n_wall, "wall")
-    parts.append((floor, 1, -1))   # class 1 = floor, no instance
-    parts.append((wall, 0, -1))    # class 0 = wall
+    # surface normals in (x, y, z) order (the OrientedFilter convention,
+    # ops/normal_guide.oriented_filter); coords rows are (z, y, x)
+    floor_n = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n_floor, 1))
+    wall_n = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n_wall, 1))
+    parts.append((floor, 1, -1, floor_n))   # class 1 = floor, no instance
+    parts.append((wall, 0, -1, wall_n))     # class 0 = wall
 
     n_obj_total = n - n_floor - n_wall
     per_obj = n_obj_total // cfg.num_objects
@@ -68,27 +72,34 @@ def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
             ax = face % 3
             u[np.arange(per_obj), ax] = np.sign(face - 2.5)
             pts = center + u * half
+            nrm = np.zeros((per_obj, 3), np.float32)
+            # coords axis 0/1/2 = z/y/x -> normal (x,y,z) column 2/1/0
+            nrm[np.arange(per_obj), 2 - ax] = np.sign(face - 2.5)
         else:  # ellipsoid surface
             v = rng.standard_normal((per_obj, 3))
             v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
             pts = center + v * half
+            nrm = v[:, ::-1].astype(np.float32)  # (z,y,x) -> (x,y,z)
         cls = int(rng.integers(2, cfg.num_classes))
-        parts.append((pts, cls, k))
+        parts.append((pts, cls, k, nrm))
 
-    coords, labels, inst = [], [], []
-    for pts, cls, iid in parts:
+    coords, labels, inst, normals = [], [], [], []
+    for pts, cls, iid, nrm in parts:
         coords.append(pts)
         labels.append(np.full(pts.shape[0], cls, np.int32))
         inst.append(np.full(pts.shape[0], iid, np.int32))
+        normals.append(nrm)
     coords = np.clip(np.concatenate(coords), 0, E - 1)
     labels = np.concatenate(labels)
     inst = np.concatenate(inst)
+    normals = np.concatenate(normals)
     # jitter points off the ideal surfaces (sensor noise)
     coords = coords + rng.normal(0, 0.4, coords.shape)
     coords = np.clip(coords, 0, E - 1)
     colors = rng.uniform(-1, 1, (coords.shape[0], 3)).astype(np.float32)
     return {"xyz": coords.astype(np.float32), "colors": colors,
-            "labels": labels, "instance_id": inst}
+            "labels": labels, "instance_id": inst,
+            "normals": normals.astype(np.float32)}
 
 
 def make_batch(cfg: SceneConfig, num_scenes: int, p_cap: int,
@@ -113,6 +124,7 @@ def make_batch(cfg: SceneConfig, num_scenes: int, p_cap: int,
             "labels": sc["labels"],
             "point_scene": np.full(n, s, np.int32),
             "xyz": sc["xyz"],
+            "normals": sc["normals"],
         }
         iid = sc["instance_id"].copy()
         iid = np.where((iid >= 0) & (iid < per_scene_inst),
@@ -155,6 +167,7 @@ def make_batch(cfg: SceneConfig, num_scenes: int, p_cap: int,
         "instance_id": pad(iid.astype(np.int32), -1),
         "point_scene": pad(cat["point_scene"].astype(np.int32), num_scenes),
         "pose": pad(pose.astype(np.float32), 0),
+        "normals": pad(cat["normals"].astype(np.float32), 0),
         "offsets": pad(offsets, 0),
         "displacements": pad(displacements, 0),
         "occupancy": pad(occupancy, 0),

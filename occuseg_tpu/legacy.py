@@ -69,14 +69,33 @@ def Deconvolution(dimension, nIn, nOut, filter_size, filter_stride,
 
 def FullConvolution(dimension, nIn, nOut, filter_size, filter_stride,
                     bias=False):
-    # The reference's FullConvolution grows the active set into a fresh
-    # Metadata (`fullConvolution.py`); on the fixed-plan architecture the
-    # deconvolution target level plays that role.
-    return Deconvolution(dimension, nIn, nOut, filter_size, filter_stride,
-                         bias)
+    """TRUE active-set-growing transposed conv (`fullConvolution.py`,
+    `FullConvolutionRules.h:11-56`): returns (tensor, fresh plan) like the
+    reference returns a tensor with fresh Metadata. `Sequential` threads
+    the new plan to subsequent layers automatically."""
+    _check3(dimension)
+    return _m.FullConvolution(out_features=nOut, size=filter_size,
+                              stride=filter_stride, use_bias=bias)
 
 
 TransposeConvolution = FullConvolution
+
+
+def RandomizedStrideConvolution(dimension, nIn, nOut, filter_size,
+                                filter_stride, bias=False):
+    """Jittered-window strided conv (`randomizedStrideConvolution.py`);
+    feed a `core.randomized.build_randomized_plan` topology at train time."""
+    _check3(dimension)
+    return _m.RandomizedStrideConvolution(out_features=nOut,
+                                          size=filter_size,
+                                          stride=filter_stride,
+                                          use_bias=bias)
+
+
+def RandomizedStrideMaxPooling(dimension, pool_size, pool_stride):
+    """Jittered-window max pool (`randomizedStrideMaxPooling.py`)."""
+    _check3(dimension)
+    return _m.RandomizedStrideMaxPooling(size=pool_size, stride=pool_stride)
 
 
 def NetworkInNetwork(nIn, nOut, bias=False):
@@ -169,6 +188,11 @@ class Sequential(nn.Module):
         # flax adopts module instances held in attributes when called here
         for layer in self.layers:
             x = layer(x, plan, train)
+            if isinstance(x, tuple) and len(x) == 2:
+                # FullConvolution grew a fresh topology: thread it to the
+                # remaining layers (the reference threads fresh Metadata
+                # inside its SparseConvNetTensor)
+                x, plan = x
         return x
 
 

@@ -54,16 +54,21 @@ class _Backbone(nn.Module):
     block_reps: int = 1
     residual_blocks: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    normal_guided: bool = False  # --use_normal: rotation-invariant filters
+                                 # via the plan's per-site orientation
+                                 # classes (reference use_normal rulebooks)
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
                  train: bool = False) -> jnp.ndarray:
         point_features = point_features.astype(self.compute_dtype)
         x = InputLayer(mode="mean", name="input")(point_features, plan, train)
-        x = SubmanifoldConvolution(self.n_planes[0], name="sub")(
-            x, plan, train)
+        x = SubmanifoldConvolution(self.n_planes[0],
+                                   normal_guided=self.normal_guided,
+                                   name="sub")(x, plan, train)
         x = UNet(self.block_reps, tuple(self.n_planes),
-                 residual_blocks=self.residual_blocks, name="unet")(
+                 residual_blocks=self.residual_blocks,
+                 normal_guided=self.normal_guided, name="unet")(
             x, plan, train)
         x = BatchNormReLU(name="bn")(x, plan, train)
         out = OutputLayer(name="output")(x, plan, train)
@@ -78,6 +83,7 @@ class ThreeVoxelKernel(nn.Module):
     block_reps: int = 1
     residual_blocks: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    normal_guided: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
@@ -85,6 +91,7 @@ class ThreeVoxelKernel(nn.Module):
         m = self.n_planes[0]
         feature = _Backbone(tuple(self.n_planes), self.block_reps,
                             self.residual_blocks, self.compute_dtype,
+                            self.normal_guided,
                             name="backbone")(point_features, plan, train)
         y = nn.Dense(self.num_classes, name="linear")(feature)
         embedding = nn.Dense(m, name="linear_embedding")(
@@ -106,6 +113,7 @@ class InstanceDenseUNet(nn.Module):
     block_reps: int = 1
     residual_blocks: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    normal_guided: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
@@ -113,6 +121,7 @@ class InstanceDenseUNet(nn.Module):
         m = self.n_planes[0]
         feature = _Backbone(tuple(self.n_planes), self.block_reps,
                             self.residual_blocks, self.compute_dtype,
+                            self.normal_guided,
                             name="backbone")(point_features, plan, train)
         y = nn.Dense(self.num_classes, name="linear")(feature)
         embedding = nn.Dense(m, name="linear_embedding")(
@@ -134,6 +143,7 @@ class LearningBWDenseUNet(nn.Module):
     block_reps: int = 1
     residual_blocks: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    normal_guided: bool = False
 
     @nn.compact
     def __call__(self, point_features: jnp.ndarray, plan: Topology,
@@ -141,8 +151,8 @@ class LearningBWDenseUNet(nn.Module):
         m = self.n_planes[0]
         base = InstanceDenseUNet(
             tuple(self.n_planes), self.num_classes, self.block_reps,
-            self.residual_blocks, self.compute_dtype, name="backbone")(
-            point_features, plan, train)
+            self.residual_blocks, self.compute_dtype, self.normal_guided,
+            name="backbone")(point_features, plan, train)
         bw = nn.softplus(nn.Dense(2, name="linear_bw")(
             nn.Dense(m, name="fc_bw")(base.features)))
         occupancy = nn.softplus(nn.Dense(1, name="linear_occupancy")(

@@ -75,10 +75,18 @@ class SubmanifoldConvolution(nn.Module):
                 nbr.shape[0], x.num_channels, self.out_features):
             # host-built chunk rulebook present: fused Pallas kernel
             # (ops/pallas/chunk_conv.py — VMEM-staged inputs, one-hot MXU
-            # permutation; the reference chunk kernel's TPU analog)
+            # permutation; the reference chunk kernel's TPU analog).
+            # Zero-pad tiny Cin (e.g. the first 3->m conv) to a lane-tileable
+            # width; padded columns meet zero weights, so out is unchanged.
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv
-            out = chunk_gather_conv(x.features, lvl.chunks.in_idx,
-                                    lvl.chunks.lidx, w)
+            feats = x.features
+            pad = (-feats.shape[1]) % 8
+            w_eff = w
+            if pad:
+                feats = jnp.pad(feats, ((0, 0), (0, pad)))
+                w_eff = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+            out = chunk_gather_conv(feats, lvl.chunks.in_idx,
+                                    lvl.chunks.lidx, w_eff)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -107,8 +115,17 @@ class Convolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        out = conv_ops.gather_conv(x.features, tr.child, w, b,
-                                   nbr_t=tr.up[:, ::-1])
+        if tr.child_chunks is not None and _chunk_supported(
+                tr.child.shape[0], x.num_channels, self.out_features):
+            from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
+            out = chunk_gather_conv_t(
+                x.features, tr.child_chunks.in_idx, tr.child_chunks.lidx,
+                tr.up_chunks.in_idx, tr.up_chunks.lidx, w)
+            if b is not None:
+                out = out + b.astype(out.dtype)
+        else:
+            out = conv_ops.gather_conv(x.features, tr.child, w, b,
+                                       nbr_t=tr.up[:, ::-1])
         lvl = plan.levels[x.level + 1]
         return SparseTensor(features=out, num_active=lvl.num_active,
                             level=x.level + 1)
@@ -136,11 +153,70 @@ class Deconvolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        out = conv_ops.gather_conv(x.features, tr.up, w, b,
-                                   nbr_t=tr.child[:, ::-1])
+        if tr.up_chunks is not None and _chunk_supported(
+                tr.up.shape[0], x.num_channels, self.out_features):
+            from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
+            out = chunk_gather_conv_t(
+                x.features, tr.up_chunks.in_idx, tr.up_chunks.lidx,
+                tr.child_chunks.in_idx, tr.child_chunks.lidx, w)
+            if b is not None:
+                out = out + b.astype(out.dtype)
+        else:
+            out = conv_ops.gather_conv(x.features, tr.up, w, b,
+                                       nbr_t=tr.child[:, ::-1])
         lvl = plan.levels[x.level - 1]
         return SparseTensor(features=out, num_active=lvl.num_active,
                             level=x.level - 1)
+
+
+class FullConvolution(nn.Module):
+    """Active-set-GROWING transposed convolution (reference
+    `fullConvolution.py:48-65` / `FullConvolutionRules.h:11-56`): output
+    sites are ALL in*stride + [0,size)^3 positions — a fresh topology, not
+    a return to an existing finer level (that is `Deconvolution`).
+
+    Returns (SparseTensor at level 0 of a NEW single-level Topology,
+    new_plan) — the analog of the reference's fresh Metadata. `cap_out` is
+    the static output-site budget (default cap_in * size^3, the exact
+    upper bound); `build_nbr=True` also builds the grown level's
+    submanifold neighbor map so further same-level convs can follow.
+    """
+
+    out_features: int
+    size: int = 2
+    stride: int = 2
+    cap_out: int | None = None
+    use_bias: bool = False
+    build_nbr: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, plan: Topology,
+                 train: bool = False):
+        from occuseg_tpu.core.topology import full_conv_plan
+
+        lvl = plan.levels[x.level]
+        cap_out = self.cap_out or lvl.cap * self.size ** 3
+        out_lvl, tr = full_conv_plan(lvl, self.size, self.stride, cap_out,
+                                     build_nbr=self.build_nbr)
+        K = tr.up.shape[1]
+        w = self.param("weight", _he_conv_init(K),
+                       (K, x.num_channels, self.out_features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
+                        self.param_dtype) if self.use_bias else None)
+        out = conv_ops.gather_conv(x.features, tr.up, w, b,
+                                   nbr_t=tr.child[:, ::-1])
+        new_plan = Topology(
+            levels=(out_lvl,), transitions=(),
+            p2v=jnp.full((1,), -1, jnp.int32),
+            num_points=jnp.zeros((), jnp.int32))
+        return (SparseTensor(features=out, num_active=out_lvl.num_active,
+                             level=0), new_plan)
+
+
+class TransposeConvolution(FullConvolution):
+    """Reference alias (`fullConvolution.py`)."""
 
 
 class NetworkInNetwork(nn.Module):
@@ -303,3 +379,16 @@ class BLOutputLayer(nn.Module):
         flat = pool_ops.devoxelize_features(x.features, plan.p2v)
         L = flat.shape[0] // self.batch_size
         return flat.reshape(self.batch_size, L, -1)
+
+
+class RandomizedStrideConvolution(Convolution):
+    """Strided conv whose train-time windows are jittered (reference
+    `randomizedStrideConvolution.py` / `RandomizedStrideRules.h`). The
+    jitter lives in the PLAN: feed a `core.randomized.build_randomized_plan`
+    topology during training and a regular plan at eval — this module is
+    the regular strided conv over whichever transition the plan carries."""
+
+
+class RandomizedStrideMaxPooling(MaxPooling):
+    """Max pool over jittered windows (reference
+    `randomizedStrideMaxPooling.py`); see RandomizedStrideConvolution."""

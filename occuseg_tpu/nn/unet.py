@@ -6,10 +6,9 @@ pre-activated residual), then [Identity | BN-LeakyReLU -> strided Conv ->
 U(deeper) -> BN-LeakyReLU -> Deconv] joined by channel concat, then `reps`
 decoder blocks (first one consuming 2x channels).
 
-`FullyConvolutionalNet` (`:308-361`), `SparseVggNet` (`:9-130`, simple ops)
-and `SparseResNet` (`:132-200`, basic blocks) are provided for builder
-parity. VGG 'Plus' multi-branch variants (len(x) >= 3 specs) would need
-several transition maps per level and are deferred.
+`FullyConvolutionalNet` (`:308-361`), `SparseVggNet` (`:9-130`, including
+the multi-branch 'Plus' specs via `_PlusBranch`) and `SparseResNet`
+(`:132-200`, basic blocks) are provided for builder parity.
 """
 
 from __future__ import annotations
@@ -43,10 +42,12 @@ class _Block(nn.Module):
     out_features: int
     residual: bool
     leakiness: float = 0.0
+    normal_guided: bool = False
 
     @nn.compact
     def __call__(self, x: SparseTensor, plan: Topology, train: bool = False):
         a, b = self.in_features, self.out_features
+        ng = self.normal_guided
         if self.residual:
             if a == b:
                 shortcut = x
@@ -54,14 +55,17 @@ class _Block(nn.Module):
                 shortcut = NetworkInNetwork(b, name="shortcut")(x, plan, train)
             y = BatchNormalization(leakiness=self.leakiness, name="bn1")(
                 x, plan, train)
-            y = SubmanifoldConvolution(b, name="conv1")(y, plan, train)
+            y = SubmanifoldConvolution(b, normal_guided=ng, name="conv1")(
+                y, plan, train)
             y = BatchNormalization(leakiness=self.leakiness, name="bn2")(
                 y, plan, train)
-            y = SubmanifoldConvolution(b, name="conv2")(y, plan, train)
+            y = SubmanifoldConvolution(b, normal_guided=ng, name="conv2")(
+                y, plan, train)
             return add_features(shortcut, y)
         y = BatchNormalization(leakiness=self.leakiness, name="bn1")(
             x, plan, train)
-        return SubmanifoldConvolution(b, name="conv1")(y, plan, train)
+        return SubmanifoldConvolution(b, normal_guided=ng, name="conv1")(
+            y, plan, train)
 
 
 class UNet(nn.Module):
@@ -73,13 +77,15 @@ class UNet(nn.Module):
     down_size: int = 2
     down_stride: int = 2
     leakiness: float = 0.0
+    normal_guided: bool = False
 
     @nn.compact
     def __call__(self, x: SparseTensor, plan: Topology, train: bool = False):
         p = tuple(self.n_planes)
+        ng = self.normal_guided
         for i in range(self.reps):
             x = _Block(p[0], p[0], self.residual_blocks, self.leakiness,
-                       name=f"enc{i}")(x, plan, train)
+                       normal_guided=ng, name=f"enc{i}")(x, plan, train)
         if len(p) == 1:
             return x
         skip = x
@@ -88,8 +94,8 @@ class UNet(nn.Module):
         y = Convolution(p[1], self.down_size, self.down_stride,
                         name="down_conv")(y, plan, train)
         y = UNet(self.reps, p[1:], self.residual_blocks, self.down_size,
-                 self.down_stride, self.leakiness, name="inner")(
-            y, plan, train)
+                 self.down_stride, self.leakiness, normal_guided=ng,
+                 name="inner")(y, plan, train)
         y = BatchNormalization(leakiness=self.leakiness, name="up_bn")(
             y, plan, train)
         y = Deconvolution(p[0], self.down_size, self.down_stride,
@@ -98,7 +104,7 @@ class UNet(nn.Module):
         for i in range(self.reps):
             cin = p[0] * (2 if i == 0 else 1)
             x = _Block(cin, p[0], self.residual_blocks, self.leakiness,
-                       name=f"dec{i}")(x, plan, train)
+                       normal_guided=ng, name=f"dec{i}")(x, plan, train)
         return x
 
 

@@ -47,9 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 from occuseg_tpu.ops.gather import gather_rows
 
 # default chunk geometry (see module docstring); U leaves headroom over the
-# measured per-level maxima so unseen scenes rarely overflow
-DEFAULT_M = 256
-DEFAULT_U = 640
+# measured per-level maxima so unseen scenes rarely overflow. Sweep on
+# silicon (round 2): M=128 with tight U beat M=256/U=512 by ~2% (241.7 vs
+# 247.4 ms full fwd+bwd) — one-hot FLOPs scale with U, and halos shrink
+# with M faster than MXU efficiency drops.
+DEFAULT_M = 128
+DEFAULT_U = 416
 
 
 @jax.tree_util.register_dataclass
@@ -141,6 +144,81 @@ def _make_fwd_kernel(n_kg: int, n_co: int):
         def _():
             out_ref[0] = acc[:].astype(out_ref.dtype)
     return kernel
+
+
+def _make_bwd_fused_kernel(n_c: int):
+    def kernel(lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
+               g_scratch):
+        """Fused backward (grid (C,)): the staged-Gct scratch serves BOTH
+        d_feats (Gct @ W') and dW (feats_c^T @ Gct) — one one-hot build
+        instead of two. dW accumulates across the contiguous c revisits."""
+        c = pl.program_id(0)
+        _build_g(lidx_ref, gct_ref, g_scratch)
+        dfeats_ref[0] = jax.lax.dot_general(
+            g_scratch[:], wt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dfeats_ref.dtype)
+
+        @pl.when(c == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        # [Cin, K*Cout]: column block k pairs with Gct_k
+        dw_ref[:] += jax.lax.dot_general(
+            feats_ref[0], g_scratch[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return kernel
+
+
+def _bwd_fused_eligible(K, M, Ct_in, cin, cout, esize) -> bool:
+    """One k-group, one cout block, and the whole working set in VMEM.
+    Ct_in is the staged (gathered-ct) channel count = fwd Cout."""
+    co_blk = _co_block(cin)  # d_feats output channels = fwd Cin
+    if _k_grouping(K, M, Ct_in, co_blk, esize, esize) != K:
+        return False
+    if cin % co_blk != 0 or cin // co_blk != 1:
+        return False
+    scratch = M * K * Ct_in * esize
+    wt = 2 * K * Ct_in * cin * esize
+    dw = cin * K * Ct_in * 4
+    return scratch + wt + dw + M * cin * esize * 3 <= 13 * 1024 * 1024
+
+
+def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
+    """d_feats [C*M, out_cin] and dW-transposed [out_cin, K*Ct] in one pass.
+    t_lidx/gct are the TRANSPOSE-direction chunk plan over d_feats rows;
+    feats_c is the forward input chunked the same way [C, M, out_cin]."""
+    C, K, M = t_lidx.shape
+    U, Ct = gct.shape[1], gct.shape[2]
+    t_lidx = t_lidx.reshape(C, 1, K, M)
+    d_feats, dw_t = pl.pallas_call(
+        _make_bwd_fused_kernel(C),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 1, K, M), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, Ct), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * Ct, out_cin), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, out_cin), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, M, out_cin), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_cin, K * Ct), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, M, out_cin), feats_c.dtype),
+            jax.ShapeDtypeStruct((out_cin, K * Ct), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((M, K * Ct), gct.dtype)],
+        interpret=interpret,
+    )(t_lidx, gct, w_t, feats_c)
+    return d_feats, dw_t
 
 
 def _make_dw_kernel(n_c: int):
@@ -258,33 +336,101 @@ def _chunk_conv_bwd(res, ct):
     ctc = ct.astype(feats.dtype)
     C, _, M = lidx.shape
     interpret = _interpret_default()
+    esize = jnp.dtype(feats.dtype).itemsize
 
-    # dW[k] = sum_r feats[nbr[r,k]]^T ct[r] = G_k^T @ ct — G is gathered via
-    # the FORWARD map here (unlike ops/conv's transpose-map backward), so no
-    # K reversal is needed for dW.
+    # d_feats[i] = sum_k ct[nbr[i,k]] @ W[K-1-k]^T — the same chunked conv
+    # over ct with reversed-transposed weights; and because that kernel
+    # already stages Gct_k[m] = ct[nbr[m,k]], dW falls out of the SAME
+    # staging: dW[K-1-k] = sum_i feats[i] (x) Gct_k[i] (offset-reversal
+    # symmetry nbr[r,k]=i <=> nbr[i,K-1-k]=r). The fused kernel computes
+    # both with ONE one-hot build.
+    w_rev_t = jnp.transpose(weight[::-1], (0, 2, 1)).astype(feats.dtype)
+    gct = _stage(ctc, in_idx)
+    if _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize):
+        with jax.enable_x64(False):
+            d_feats, dw_t = _pallas_bwd_fused(
+                lidx, gct, w_rev_t.reshape(K * Cout, Cin),
+                feats.reshape(C, M, Cin), Cin, interpret)
+        d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                            (1, 0, 2))[::-1].astype(weight.dtype)
+        return (d_feats.reshape(-1, Cin), None, None, d_w)
+
+    # fallback: separate dW kernel (gathers feats via the forward map, so
+    # no K reversal there)
     gin = _stage(feats, in_idx)
     with jax.enable_x64(False):
         dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout), interpret)
-    d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
-
-    # d_feats[i] = sum_k ct[nbr[i,k]] @ W[K-1-k]^T — the same chunked conv
-    # over ct with reversed-transposed weights.
-    w_rev_t = jnp.transpose(weight[::-1], (0, 2, 1)).astype(feats.dtype)
-    gct = _stage(ctc, in_idx)
-    with jax.enable_x64(False):
         d_feats = _pallas_fwd(lidx, gct,
                               w_rev_t.reshape(K * Cout, Cin),
                               feats.dtype, interpret)
+    d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
     return (d_feats.reshape(-1, Cin), None, None, d_w)
 
 
 chunk_gather_conv.defvjp(_chunk_conv_fwd, _chunk_conv_bwd)
 
 
+@jax.custom_vjp
+def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
+                        lidx: jnp.ndarray, t_in_idx: jnp.ndarray,
+                        t_lidx: jnp.ndarray, weight: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Chunked conv with an EXPLICIT transpose chunk plan — the general
+    (non-submanifold) form used by strided convolution (fwd table = child,
+    transpose = up) and deconvolution (fwd = up, transpose = child), where
+    input and output row spaces differ. Transpose pairing is same-k:
+    fwd_table[r,k] == i  <=>  t_table[i,k] == r (the child/up identity), so
+    d_feats[i] = sum_k ct[t_table[i,k]] @ W[k]^T with NO offset reversal.
+    """
+    return _fwd_impl(feats, in_idx, lidx, weight)
+
+
+def _chunk_conv_t_fwd(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
+    return _fwd_impl(feats, in_idx, lidx, weight), (
+        feats, in_idx, lidx, t_in_idx, t_lidx, weight)
+
+
+def _chunk_conv_t_bwd(res, ct):
+    feats, in_idx, lidx, t_in_idx, t_lidx, weight = res
+    K, Cin, Cout = weight.shape
+    ctc = ct.astype(feats.dtype)
+    C, _, M = lidx.shape
+    Ct, _, Mt = t_lidx.shape
+    interpret = _interpret_default()
+    esize = jnp.dtype(feats.dtype).itemsize
+
+    w_t = jnp.transpose(weight, (0, 2, 1)).astype(feats.dtype)
+    gct = _stage(ctc, t_in_idx)
+    # same-k pairing: Gct_k[i] = ct[t_table[i,k]]; dW[k] = sum_i
+    # feats[i] (x) Gct_k[i] — fused with d_feats when VMEM allows
+    if Ct * Mt == feats.shape[0] and _bwd_fused_eligible(
+            K, Mt, Cout, Cin, Cout, esize):
+        with jax.enable_x64(False):
+            d_feats, dw_t = _pallas_bwd_fused(
+                t_lidx, gct, w_t.reshape(K * Cout, Cin),
+                feats.reshape(Ct, Mt, Cin), Cin, interpret)
+        d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                            (1, 0, 2)).astype(weight.dtype)
+        return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+
+    gin = _stage(feats, in_idx)
+    with jax.enable_x64(False):
+        dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout), interpret)
+        d_feats = _pallas_fwd(t_lidx, gct, w_t.reshape(K * Cout, Cin),
+                              feats.dtype, interpret)
+    d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
+    return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+
+
+chunk_gather_conv_t.defvjp(_chunk_conv_t_fwd, _chunk_conv_t_bwd)
+
+
 def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
-    """Shape eligibility for the chunked kernel."""
-    return (cap % M == 0 and cin % 8 == 0 and cout % 8 == 0
-            and cin >= 32 and cout >= 32)
+    """Shape eligibility for the chunked kernel. Small/odd Cin is fine —
+    the module zero-pads channels to 8 (the first conv is 3->m and was the
+    single most expensive op on the XLA path: ~60ms/step of 316, exp_r2_f).
+    """
+    return cap % M == 0 and cout % 8 == 0 and cout >= 32
 
 
 # ---------------------------------------------------------------------------
@@ -349,26 +495,48 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
     return in_idx, np.ascontiguousarray(lidx.transpose(0, 2, 1))
 
 
-def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None):
-    """Attach ChunkPlans to every eligible level of a host-built Topology
-    (NumPy leaves). Levels that overflow U keep chunks=None (XLA path).
+def _chunk_or_none(table: np.ndarray, M: int, u: int):
+    if table.shape[0] % M != 0:
+        return None
+    arrs = build_chunk_arrays(table, M, u)
+    return None if arrs is None else ChunkPlan(in_idx=arrs[0],
+                                               lidx=arrs[1])
+
+
+def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
+                             U_child=None, U_up: int = 384):
+    """Attach ChunkPlans to every eligible level AND transition of a
+    host-built Topology (NumPy leaves). Maps that overflow their U keep
+    chunks=None (XLA path).
 
     `U` may be an int or a per-level sequence. One-hot FLOPs and staging
     traffic both scale with U, so the defaults hug the measured per-level
-    maxima (exp_r2_c: 392/446/560/525/484 at M=256) with ~25% margin.
-    IMPORTANT: U is part of the jitted step's static shapes — it must come
-    from this static table, never from the batch at hand, or every batch
-    recompiles."""
+    maxima (exp_r2_c at M=128: submanifold 231/287/321/325/317/260;
+    transition child/up bounded by the M=256 numbers) with ~25% margin.
+    A level that overflows its U falls back to the XLA path for that batch
+    — safe, just slower. IMPORTANT: U is part of the jitted step's static
+    shapes — it must come from these static tables, never from the batch at
+    hand, or every batch recompiles."""
     if U is None:
-        U = (512, 512, 640, 640, 640, 640)
+        U = ((288, 352, 416, 416, 416, 352) if M == 128
+             else (512, 512, 640, 640, 640, 640))
+    if U_child is None:
+        U_child = (768, 1152, 1408, 1536, 1408)
     new_levels = []
     for li, lvl in enumerate(plan.levels):
         u = U if isinstance(U, int) else U[min(li, len(U) - 1)]
-        chunks = None
-        nbr = np.asarray(lvl.nbr)
-        if nbr.shape[0] % M == 0:
-            arrs = build_chunk_arrays(nbr, M, u)
-            if arrs is not None:
-                chunks = ChunkPlan(in_idx=arrs[0], lidx=arrs[1])
+        chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u)
         new_levels.append(dataclasses.replace(lvl, chunks=chunks))
-    return dataclasses.replace(plan, levels=tuple(new_levels))
+    new_transitions = []
+    for ti, tr in enumerate(plan.transitions):
+        uc = U_child if isinstance(U_child, int) \
+            else U_child[min(ti, len(U_child) - 1)]
+        child_chunks = _chunk_or_none(np.asarray(tr.child), M, uc)
+        up_chunks = _chunk_or_none(np.asarray(tr.up), M, U_up)
+        # the general-form VJP needs BOTH directions' plans
+        if child_chunks is None or up_chunks is None:
+            child_chunks = up_chunks = None
+        new_transitions.append(dataclasses.replace(
+            tr, child_chunks=child_chunks, up_chunks=up_chunks))
+    return dataclasses.replace(plan, levels=tuple(new_levels),
+                               transitions=tuple(new_transitions))

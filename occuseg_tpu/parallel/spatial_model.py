@@ -271,7 +271,8 @@ def _make_backbone_train_fn(n_planes, block_reps, residual_blocks, halo,
         # so the weight cotangent transposes through a psum (custom_vjp
         # blocks shard_map's automatic replication inference)
         return _gather_conv_fused_core(ext, m, m_t,
-                                       jax.lax.pvary(w, SPACE_AXIS))
+                                       jax.lax.pcast(w, SPACE_AXIS,
+                                                     to="varying"))
 
     def conv(x, lv, w):
         ext = extend_features(x, lv["sl"], lv["sr"], lv["pub"], halo)

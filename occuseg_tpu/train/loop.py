@@ -9,6 +9,7 @@ orbax snapshots with power-of-2 GC, KeyboardInterrupt snapshot
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import queue
@@ -52,7 +53,8 @@ def build_model(config: Dict):
            else InstanceDenseUNet)
     return cls(n_planes=planes, num_classes=config.get("class_num", 20),
                block_reps=config.get("block_reps", 1),
-               residual_blocks=config.get("residual_blocks", True))
+               residual_blocks=config.get("residual_blocks", True),
+               normal_guided=bool(config.get("use_normal", False)))
 
 
 def build_spec(config: Dict) -> PlanSpec:
@@ -96,7 +98,8 @@ def get_dataset(config: Dict):
 
 
 def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
-                    bucket_specs_list=None, spatial: Optional[Dict] = None
+                    bucket_specs_list=None, spatial: Optional[Dict] = None,
+                    use_normals: bool = False
                     ) -> Iterator[Tuple[Dict, Optional[object], int]]:
     """Yield (batch, host_plan, bucket_index) with the C++ plan built one
     batch ahead in a worker thread — the loader-side analog of the
@@ -118,7 +121,9 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     from occuseg_tpu.train.bucketing import plan_for_batch
                     bi, plan = plan_for_batch(bucket_specs_list, b["coords"])
                 else:
-                    bi, plan = 0, build_plan_host(b["coords"], spec)
+                    bi, plan = 0, build_plan_host(
+                        b["coords"], spec,
+                        b.get("normals") if use_normals else None)
                 if spatial is not None and plan is not None:
                     from occuseg_tpu.parallel.spatial_model import (
                         prepare_shard_args,
@@ -139,21 +144,27 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
         yield item
 
 
-def _host_plan_any(coords: np.ndarray, spec) -> object:
+def _host_plan_any(coords: np.ndarray, spec, normals=None) -> object:
     """Host plan via the C++ builder, or the jitted builder as fallback
-    (returns NumPy leaves either way)."""
+    (returns NumPy leaves either way). `normals` [P,3] enable the plan's
+    per-level orientation classes (--use_normal)."""
     from occuseg_tpu.core.topology import build_plan
     from occuseg_tpu.native.plan import build_plan_host
 
-    plan = build_plan_host(coords, spec)
+    plan = build_plan_host(coords, spec, normals)
     if plan is None:
-        plan = jax.device_get(
-            jax.jit(lambda c: build_plan(c, spec))(jnp.asarray(coords)))
+        if normals is not None:
+            plan = jax.device_get(jax.jit(
+                lambda c, n: build_plan(c, spec, n))(
+                jnp.asarray(coords), jnp.asarray(normals)))
+        else:
+            plan = jax.device_get(
+                jax.jit(lambda c: build_plan(c, spec))(jnp.asarray(coords)))
     return plan
 
 
 def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
-                       depth: int = 2
+                       depth: int = 2, use_normals: bool = False
                        ) -> Iterator[Tuple[Dict, object, int]]:
     """Group `n_dev` consecutive per-device batches, build each one's
     topology plan on the host, and yield (stacked_batch, stacked_plans, 0)
@@ -168,7 +179,9 @@ def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
     DONE = object()
 
     def pack(group, weights):
-        plans = [_host_plan_any(b["coords"], spec) for b in group]
+        plans = [_host_plan_any(b["coords"], spec,
+                                b.get("normals") if use_normals else None)
+                 for b in group]
         stacked = {k: np.stack([b[k] for b in group])
                    for k in group[0] if k != "region"}
         stacked["_w"] = np.asarray(weights, np.float32)
@@ -225,6 +238,30 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec,
                                tcfg)
 
+    # Resume (reference `train_instance.py:579-581` --checkpoint_file and
+    # `:377` --checkpoint epoch offset): restore the full TrainState
+    # (params, BN stats, optimizer state, step) before any replication.
+    start_epoch = int(config.get("checkpoint", 0) or 0)
+    if config.get("load"):
+        path = config["load"]
+        if os.path.isdir(path) and ckpt.latest_checkpoint(path):
+            path = ckpt.latest_checkpoint(path)
+        if str(path).endswith((".pth", ".pt")):
+            # reference torch checkpoint: import weights + BN stats only
+            from occuseg_tpu.train.torch_import import (
+                load_baseline_checkpoint,
+            )
+            params, stats = load_baseline_checkpoint(
+                path, model, state.params, state.batch_stats,
+                tuple(int(x) for x in config["unet_structure"]),
+                config.get("block_reps", 1),
+                config.get("residual_blocks", True))
+            state = dataclasses.replace(state, params=params,
+                                        batch_stats=stats)
+        else:
+            state = ckpt.restore_checkpoint(path, state)
+        log.info("resumed from %s (start epoch %d)", path, start_epoch)
+
     # cap buckets: one jitted step per bucket (params/opt state shared —
     # they do not depend on the caps)
     num_buckets = int(config.get("num_buckets", 1))
@@ -265,9 +302,10 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         step_fns = None
     else:
         def make_fn(s):
-            return jax.jit(make_train_step(model, s, tcfg, lcfg,
-                                           num_scenes=batch_per_dev,
-                                           num_instances=i_cap))
+            return jax.jit(make_train_step(
+                model, s, tcfg, lcfg, num_scenes=batch_per_dev,
+                num_instances=i_cap,
+                use_normals=bool(config.get("use_normal"))))
         if buckets is not None:
             step_fns = [make_fn(s) for s in buckets]
             step_fn = step_fns[-1]
@@ -287,7 +325,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
 
     step = 0
     try:
-        for epoch in range(int(config.get("max_epoch", 1))):
+        for epoch in range(start_epoch, int(config.get("max_epoch", 1))):
             t0 = time.time()
             agg: Dict[str, float] = {}
             nb = 0
@@ -298,15 +336,18 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                 # set of scenes — never split a scene's rows across chips);
                 # host plans are built in the prefetch thread and fed to the
                 # step as sharded pytree inputs
-                source = dp_plan_prefetcher(batches, spec, n_dev)
+                source = dp_plan_prefetcher(
+                    batches, spec, n_dev,
+                    use_normals=bool(config.get("use_normal")))
             else:
                 spatial = (dict(shards=n_spatial,
                                 halo=int(config.get("spatial_halo", 4096)),
                                 pool=int(config.get("spatial_pool", 4096)))
                            if n_spatial > 1 else None)
-                source = plan_prefetcher(batches, spec,
-                                         bucket_specs_list=buckets,
-                                         spatial=spatial)
+                source = plan_prefetcher(
+                    batches, spec, bucket_specs_list=buckets,
+                    spatial=spatial,
+                    use_normals=bool(config.get("use_normal")))
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
@@ -400,7 +441,8 @@ def evaluate_semantic(config: Dict, state, model, spec) -> Dict:
     p_cap = config["point_cap"]
     i_cap = config["instance_cap"]
     reps = max(int(config.get("val_reps", 1)), 1)
-    ev = jax.jit(make_eval_step(model, spec))
+    ev = jax.jit(make_eval_step(
+        model, spec, use_normals=bool(config.get("use_normal"))))
     conf = np.zeros((20, 20), np.int64)
     per_rep = [dataset.val_batches(p_cap, i_cap, 1, val_rep=r)
                for r in range(reps)]

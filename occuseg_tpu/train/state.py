@@ -89,17 +89,21 @@ def create_train_state(model, rng, sample_batch: Dict[str, jnp.ndarray],
 def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
                     loss_cfg: LossConfig = LossConfig(),
                     num_scenes: int = 1, num_instances: int = 64,
-                    axis_name: str | None = None) -> Callable:
+                    axis_name: str | None = None,
+                    use_normals: bool = False) -> Callable:
     """Build the (un-jitted) train step; wrap in jit/shard_map by caller.
 
     If `axis_name` is set, gradients and metrics are psum-averaged across the
     named mesh axis (data parallelism — SURVEY.md §2.5 TPU plan).
+    `use_normals` makes the in-jit plan fallback consume batch["normals"]
+    for orientation classes (--use_normal; host plans carry them already).
     """
     tx = make_optimizer(cfg)
 
     def loss_fn(params, batch_stats, batch, plan, w):
         if plan is None:
-            plan = build_plan(batch["coords"], spec)
+            plan = build_plan(batch["coords"], spec,
+                              batch.get("normals") if use_normals else None)
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["features"], plan, True, mutable=["batch_stats"])
@@ -142,13 +146,15 @@ def make_train_step(model, spec: PlanSpec, cfg: TrainConfig = TrainConfig(),
     return train_step
 
 
-def make_eval_step(model, spec: PlanSpec) -> Callable:
+def make_eval_step(model, spec: PlanSpec, use_normals: bool = False
+                   ) -> Callable:
     """Forward pass in eval mode (running BN stats), jitted by caller."""
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                   plan=None):
         if plan is None:
-            plan = build_plan(batch["coords"], spec)
+            plan = build_plan(batch["coords"], spec,
+                              batch.get("normals") if use_normals else None)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["features"], plan, False)

@@ -96,12 +96,21 @@ def main() -> None:
 
     stats = {}
     for thr in (0.25, 0.5):
+        # reference-parity metric (precision reported as "mAP",
+        # evaluate_instance.py:1703-1741) ...
         res = instance_precision_recall(all_props, all_gts,
                                         iou_threshold=thr)
-        logging.info("mAP@%.2f: %.4f  mRecall@%.2f: %.4f", thr, res["mAP"],
-                     thr, res["mRecall"])
+        logging.info("ref-mAP@%.2f: %.4f  mRecall@%.2f: %.4f", thr,
+                     res["mAP"], thr, res["mRecall"])
         stats[f"precision_{int(thr*100)}"] = res["precision_per_class"]
         stats[f"recall_{int(thr*100)}"] = res["recall_per_class"]
+        # ... and the benchmark-grade AP (ranked PR curve, one-to-one
+        # matching — the ScanNet protocol)
+        from occuseg_tpu.cluster.evaluator import instance_average_precision
+        ap = instance_average_precision(all_props, all_gts,
+                                        iou_threshold=thr)
+        logging.info("AP@%.2f: %.4f (benchmark protocol)", thr, ap["mAP"])
+        stats[f"ap_{int(thr*100)}"] = ap["ap_per_class"]
 
     # instance statistics export (reference writes instance_stat.mat,
     # evaluate_instance.py:1548-1552, :1699)

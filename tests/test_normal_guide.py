@@ -114,3 +114,69 @@ def test_normal_guided_model_forward():
     out2 = m2.apply(v, x, plan, False)
     assert not np.allclose(np.asarray(out.features),
                            np.asarray(out2.features))
+
+
+def test_host_plan_orientation_matches_jit_plan():
+    """The C++ host planner's orientation classes (--use_normal fast path)
+    equal the jitted builder's (VERDICT r1 #5: native/plan.py previously
+    hardcoded orient=zeros)."""
+    import jax
+    import jax.numpy as jnp
+    from occuseg_tpu.core.topology import PlanSpec, build_plan
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native.plan import build_plan_host
+
+    spec = PlanSpec(caps=(2048, 1024, 512))
+    b = make_batch(SceneConfig(num_points=3000, extent=64, num_objects=6),
+                   1, 4096, 8, seed=21)
+    host = build_plan_host(b["coords"], spec, b["normals"])
+    assert host is not None
+    jit_plan = jax.jit(lambda c, n: build_plan(c, spec, n))(
+        jnp.asarray(b["coords"]), jnp.asarray(b["normals"]))
+    for li, (h, j) in enumerate(zip(host.levels, jit_plan.levels)):
+        n = int(h.num_active)
+        ho = np.asarray(h.orient)[:n]
+        jo = np.asarray(j.orient)[:n]
+        match = (ho == jo).mean()
+        # normalize/argmax ties can flip a handful of sites; demand
+        # near-exact agreement
+        assert match > 0.995, (li, match)
+        assert set(np.unique(ho)) <= {0, 2, 4}
+        assert (ho != 0).any(), "orientation classes must not be all-zero"
+
+
+def test_use_normal_train_step_end_to_end():
+    """Flagship model with normal_guided=True trains on a synthetic batch
+    using a host plan that carries orientation classes."""
+    import jax
+    import jax.numpy as jnp
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.models import LearningBWDenseUNet
+    from occuseg_tpu.native.plan import build_plan_host
+    from occuseg_tpu.train.state import create_train_state, make_train_step
+
+    spec = PlanSpec(caps=(2048, 1024, 512))
+    b = make_batch(SceneConfig(num_points=1500, extent=48, num_objects=6),
+                   1, 2048, 16, seed=5)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    model = LearningBWDenseUNet(n_planes=(8, 16, 24), num_classes=20,
+                                normal_guided=True)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, spec)
+    step = jax.jit(make_train_step(model, spec, num_scenes=1,
+                                   num_instances=16, use_normals=True))
+    plan = jax.tree.map(jnp.asarray,
+                        build_plan_host(b["coords"], spec, b["normals"]))
+    losses = []
+    for _ in range(4):
+        state, parts = step(state, batch, plan)
+        losses.append(float(parts["total"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+    # parity: host-plan step == in-jit-plan step (same orient path)
+    state2 = create_train_state(model, jax.random.PRNGKey(0), batch, spec)
+    state3 = jax.tree.map(lambda x: x, state2)
+    _, parts_host = step(state2, batch, plan)
+    _, parts_jit = step(state3, batch, None)
+    np.testing.assert_allclose(float(parts_host["total"]),
+                               float(parts_jit["total"]), rtol=1e-4)
