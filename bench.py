@@ -37,9 +37,12 @@ GV100_EST_VOXELS_PER_SEC = 1.0e6
 # sizes caps per batch the same way. NB: larger batches currently scale
 # SUBLINEARLY (XLA's gather slows superlinearly with table size; batch-4
 # measured 4.3x slower per voxel) — single-scene steps are the fast point.
-NUM_SCENES = 1
-P_CAP = 262_144
-CAPS = (196_608, 139_264, 63_488, 17_408, 4_096, 1_024)
+import os as _os
+
+NUM_SCENES = int(_os.environ.get("OCC_SCENES", 1))
+P_CAP = 262_144 * NUM_SCENES
+CAPS = tuple(c * NUM_SCENES
+             for c in (196_608, 139_264, 63_488, 17_408, 4_096, 1_024))
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 
@@ -75,6 +78,9 @@ def main() -> None:
             kw["M"] = m_env
         if u_env:
             kw["U"] = tuple(int(x) for x in u_env.split(","))
+        g_env = int(os.environ.get("OCC_GRANULE", 0) or 0)
+        if g_env:
+            kw["granule"] = g_env
         host_plan = augment_plan_with_chunks(host_plan, **kw)
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
         print(f"chunked levels: {n_chunked}/{len(host_plan.levels)}",

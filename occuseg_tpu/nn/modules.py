@@ -86,7 +86,8 @@ class SubmanifoldConvolution(nn.Module):
                 feats = jnp.pad(feats, ((0, 0), (0, pad)))
                 w_eff = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
             out = chunk_gather_conv(feats, lvl.chunks.in_idx,
-                                    lvl.chunks.lidx, w_eff)
+                                    lvl.chunks.lidx, w_eff,
+                                    granule=lvl.chunks.granule)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -120,7 +121,9 @@ class Convolution(nn.Module):
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
             out = chunk_gather_conv_t(
                 x.features, tr.child_chunks.in_idx, tr.child_chunks.lidx,
-                tr.up_chunks.in_idx, tr.up_chunks.lidx, w)
+                tr.up_chunks.in_idx, tr.up_chunks.lidx, w,
+                granule=tr.child_chunks.granule,
+                t_granule=tr.up_chunks.granule)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -158,7 +161,9 @@ class Deconvolution(nn.Module):
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
             out = chunk_gather_conv_t(
                 x.features, tr.up_chunks.in_idx, tr.up_chunks.lidx,
-                tr.child_chunks.in_idx, tr.child_chunks.lidx, w)
+                tr.child_chunks.in_idx, tr.child_chunks.lidx, w,
+                granule=tr.up_chunks.granule,
+                t_granule=tr.child_chunks.granule)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:

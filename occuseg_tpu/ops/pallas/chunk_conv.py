@@ -58,15 +58,21 @@ DEFAULT_U = 416
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ChunkPlan:
-    """Per-level chunk rulebook (host-built, `build_chunk_arrays`)."""
+    """Per-level chunk rulebook (host-built, `build_chunk_arrays`).
 
-    in_idx: jnp.ndarray  # int32 [C, U] global rows staged per chunk, -1 pad
-    lidx: jnp.ndarray    # int32 [C, K, M] local index into in_idx, -1 missing
+    With granule g > 1, in_idx holds GRANULE ids (row // g) and each
+    occupies g consecutive staged slots — the staging gather then moves
+    g*Cin-byte rows (fewer, bigger rows: XLA row-gathers are row-count
+    bound) and lidx indexes the granule-expanded slots."""
+
+    in_idx: jnp.ndarray  # int32 [C, U/g] granule ids staged per chunk, -1 pad
+    lidx: jnp.ndarray    # int32 [C, K, M] granule-expanded slot, -1 missing
+    granule: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def geometry(self) -> Tuple[int, int, int, int]:
         C, K, M = self.lidx.shape
-        return C, K, M, self.in_idx.shape[1]
+        return C, K, M, self.in_idx.shape[1] * self.granule
 
 
 def _interpret_default() -> bool:
@@ -101,23 +107,50 @@ def _k_grouping(K: int, M: int, cin: int, co_blk: int, esize: int,
     return 1
 
 
-def _build_g(lidx_ref, gin_ref, g_scratch):
-    """Stage G offsets' gathered rows into g_scratch [M, G*Cin] via one-hot
+def _lane_pack(cin: int, U: int) -> int:
+    """For Cin <= 64 the plain [M,U]@[U,Cin] one-hot product uses at most
+    half the MXU's 128 output lanes; viewing gin as [U/r, r*Cin] (a free
+    host-side reshape — staged rows are contiguous) fills the lanes and a
+    VPU select picks the row within each pair. Same MACs, ~2x MXU
+    throughput at L0. (Mosaic cannot shape-cast in-kernel, so the view is
+    applied to the gin array before pallas_call.)"""
+    # MEASURED ON SILICON: packing r=2 at L0 REGRESSED the full step 242ms
+    # -> 328ms — extracting the odd half (g2[:, cin:]) costs a 64-lane
+    # rotate per offset that outweighs the MXU lane gain. Disabled; the
+    # machinery stays for a future transposed-product formulation.
+    return 1
+
+
+def _build_g(lidx_ref, gin_ref, g_scratch, cin: int):
+    """Stage G offsets' gathered rows into g_scratch [M, G*cin] via one-hot
     MXU products (lidx == -1 rows come out zero for free).
-    lidx_ref block is [1, 1, G, M] (4D so the G dim can be non-8-aligned)."""
+    lidx_ref block is [1, 1, G, M] (4D so the G dim can be non-8-aligned);
+    gin_ref block is [1, U/r, r*cin] (see _lane_pack)."""
     G, M = lidx_ref.shape[2], lidx_ref.shape[3]
-    U, Cin = gin_ref.shape[1], gin_ref.shape[2]
+    Ur, Cr = gin_ref.shape[1], gin_ref.shape[2]
+    r = Cr // cin
     gin = gin_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (M, U), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (M, Ur), 1)
     for k in range(G):
-        oh = (lidx_ref[0, 0, k, :][:, None] == iota).astype(gin.dtype)
-        g = jax.lax.dot_general(
-            oh, gin, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        g_scratch[:, k * Cin:(k + 1) * Cin] = g.astype(g_scratch.dtype)
+        l = lidx_ref[0, 0, k, :]
+        if r == 1:
+            oh = (l[:, None] == iota).astype(gin.dtype)
+            g = jax.lax.dot_general(
+                oh, gin, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            # -1 >> 1 == -1 (arithmetic): missing rows still match nothing
+            oh = ((l >> 1)[:, None] == iota).astype(gin.dtype)
+            g2 = jax.lax.dot_general(
+                oh, gin, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # minor-dim insert must happen on the i32 value (Mosaic cannot
+            # insert a minor dim on sub-32-bit types like bool)
+            g = jnp.where((l & 1)[:, None] == 0, g2[:, :cin], g2[:, cin:])
+        g_scratch[:, k * cin:(k + 1) * cin] = g.astype(g_scratch.dtype)
 
 
-def _make_fwd_kernel(n_kg: int, n_co: int):
+def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
     def kernel(lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc):
         """Grid (C, CO, KG), kg fastest: the f32 accumulator spans the
         contiguous kg revisits of one (chunk, Cout-block); out is written
@@ -127,9 +160,9 @@ def _make_fwd_kernel(n_kg: int, n_co: int):
             # single k-group: the staged G is valid for every Cout block
             @pl.when(pl.program_id(1) == 0)
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin)
         else:
-            _build_g(lidx_ref, gin_ref, g_scratch)
+            _build_g(lidx_ref, gin_ref, g_scratch, cin)
 
         @pl.when(kg == 0)
         def _():
@@ -146,14 +179,14 @@ def _make_fwd_kernel(n_kg: int, n_co: int):
     return kernel
 
 
-def _make_bwd_fused_kernel(n_c: int):
+def _make_bwd_fused_kernel(n_c: int, cin: int):
     def kernel(lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
                g_scratch):
         """Fused backward (grid (C,)): the staged-Gct scratch serves BOTH
         d_feats (Gct @ W') and dW (feats_c^T @ Gct) — one one-hot build
         instead of two. dW accumulates across the contiguous c revisits."""
         c = pl.program_id(0)
-        _build_g(lidx_ref, gct_ref, g_scratch)
+        _build_g(lidx_ref, gct_ref, g_scratch, cin)
         dfeats_ref[0] = jax.lax.dot_general(
             g_scratch[:], wt_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -192,13 +225,15 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     C, K, M = t_lidx.shape
     U, Ct = gct.shape[1], gct.shape[2]
     t_lidx = t_lidx.reshape(C, 1, K, M)
+    r = _lane_pack(Ct, U)
+    gct = gct.reshape(C, U // r, r * Ct)
     d_feats, dw_t = pl.pallas_call(
-        _make_bwd_fused_kernel(C),
+        _make_bwd_fused_kernel(C, Ct),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, 1, K, M), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, Ct), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, U // r, r * Ct), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K * Ct, out_cin), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -221,12 +256,12 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     return d_feats, dw_t
 
 
-def _make_dw_kernel(n_c: int):
+def _make_dw_kernel(n_c: int, cin: int):
     def kernel(lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch):
         """Grid (KG, CO, C), c fastest: each dW block's chunk revisits are
         contiguous, so read-modify-write accumulation is safe."""
         c = pl.program_id(2)
-        _build_g(lidx_ref, gin_ref, g_scratch)
+        _build_g(lidx_ref, gin_ref, g_scratch, cin)
 
         @pl.when(c == 0)
         def _():
@@ -248,13 +283,16 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
     G = _k_grouping(K, M, Cin, co_blk, esize, esize)
     n_kg, n_co = K // G, Cout // co_blk
     lidx = lidx.reshape(C, n_kg, G, M)
+    r = _lane_pack(Cin, U)
+    gin = gin.reshape(C, U // r, r * Cin)
     return pl.pallas_call(
-        _make_fwd_kernel(n_kg, n_co),
+        _make_fwd_kernel(n_kg, n_co, Cin),
         grid=(C, n_co, n_kg),
         in_specs=[
             pl.BlockSpec((1, 1, G, M), lambda c, co, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, Cin), lambda c, co, kg: (c, 0, 0),
+            pl.BlockSpec((1, U // r, r * Cin),
+                         lambda c, co, kg: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G * Cin, co_blk), lambda c, co, kg: (kg, co),
                          memory_space=pltpu.VMEM),
@@ -275,13 +313,15 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
     co_blk = _co_block(Cout)
     G = _k_grouping(K, M, Cin, co_blk, jnp.dtype(gin.dtype).itemsize, 4)
     lidx = lidx.reshape(C, K // G, G, M)
+    r = _lane_pack(Cin, U)
+    gin = gin.reshape(C, U // r, r * Cin)
     return pl.pallas_call(
-        _make_dw_kernel(C),
+        _make_dw_kernel(C, Cin),
         grid=(K // G, Cout // co_blk, C),
         in_specs=[
             pl.BlockSpec((1, 1, G, M), lambda kg, co, c: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U, Cin), lambda kg, co, c: (c, 0, 0),
+            pl.BlockSpec((1, U // r, r * Cin), lambda kg, co, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M, co_blk), lambda kg, co, c: (c, 0, co),
                          memory_space=pltpu.VMEM),
@@ -295,17 +335,33 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
     )(lidx, gin, ct_c)
 
 
-def _stage(feats, in_idx):
+def _stage(feats, in_idx, granule: int = 1):
     """XLA pre-gather of each chunk's deduped input rows: [C, U, Cin].
-    One coalesced gather per conv instead of K strided ones."""
-    C, U = in_idx.shape
-    return gather_rows(feats, in_idx.reshape(-1)).reshape(C, U, -1)
+    One coalesced gather per conv instead of K strided ones.
+
+    Pad entries (in_idx == -1) clamp to row 0 WITHOUT a fill/select pass:
+    no lidx ever points at a pad slot (the one-hot guards missing refs),
+    so staged garbage there is never read.
+
+    granule g > 1: in_idx holds row//g ids; the gather reads g-row granules
+    (g*Cin bytes per row) from feats viewed [N/g, g*Cin] — same bytes in
+    fewer, bigger rows."""
+    C, Ug = in_idx.shape
+    safe = jnp.maximum(in_idx.reshape(-1), 0)
+    if granule == 1:
+        return jnp.take(feats, safe, axis=0, unique_indices=False,
+                        indices_are_sorted=False).reshape(C, Ug, -1)
+    N, Cin = feats.shape
+    fg = feats.reshape(N // granule, granule * Cin)
+    out = jnp.take(fg, safe, axis=0, unique_indices=False,
+                   indices_are_sorted=False)
+    return out.reshape(C, Ug * granule, Cin)
 
 
-def _fwd_impl(feats, in_idx, lidx, weight):
+def _fwd_impl(feats, in_idx, lidx, weight, granule=1):
     K, Cin, Cout = weight.shape
     out_dtype = feats.dtype
-    gin = _stage(feats, in_idx)
+    gin = _stage(feats, in_idx, granule)
     w_flat = weight.astype(out_dtype).reshape(K * Cin, Cout)
     with jax.enable_x64(False):
         out = _pallas_fwd(lidx, gin, w_flat, out_dtype,
@@ -313,67 +369,120 @@ def _fwd_impl(feats, in_idx, lidx, weight):
     return out.reshape(-1, Cout)
 
 
-@jax.custom_vjp
+@functools.lru_cache(maxsize=None)
+def _make_sub_conv(granule: int):
+    """custom_vjp instance for a (static) staging granule."""
+
+    @jax.custom_vjp
+    def f(feats, in_idx, lidx, weight):
+        return _fwd_impl(feats, in_idx, lidx, weight, granule)
+
+    def fwd(feats, in_idx, lidx, weight):
+        return f(feats, in_idx, lidx, weight), (feats, in_idx, lidx, weight)
+
+    def bwd(res, ct):
+        feats, in_idx, lidx, weight = res
+        K, Cin, Cout = weight.shape
+        ctc = ct.astype(feats.dtype)
+        C, _, M = lidx.shape
+        interpret = _interpret_default()
+        esize = jnp.dtype(feats.dtype).itemsize
+
+        # d_feats[i] = sum_k ct[nbr[i,k]] @ W[K-1-k]^T — the same chunked
+        # conv over ct with reversed-transposed weights; and because that
+        # kernel already stages Gct_k[m] = ct[nbr[m,k]], dW falls out of
+        # the SAME staging: dW[K-1-k] = sum_i feats[i] (x) Gct_k[i]
+        # (offset-reversal symmetry nbr[r,k]=i <=> nbr[i,K-1-k]=r). The
+        # fused kernel computes both with ONE one-hot build.
+        w_rev_t = jnp.transpose(weight[::-1], (0, 2, 1)).astype(feats.dtype)
+        gct = _stage(ctc, in_idx, granule)
+        if _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize):
+            with jax.enable_x64(False):
+                d_feats, dw_t = _pallas_bwd_fused(
+                    lidx, gct, w_rev_t.reshape(K * Cout, Cin),
+                    feats.reshape(C, M, Cin), Cin, interpret)
+            d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                                (1, 0, 2))[::-1].astype(weight.dtype)
+            return (d_feats.reshape(-1, Cin), None, None, d_w)
+
+        # fallback: separate dW kernel (gathers feats via the forward map,
+        # so no K reversal there)
+        gin = _stage(feats, in_idx, granule)
+        with jax.enable_x64(False):
+            dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
+                                 interpret)
+            d_feats = _pallas_fwd(lidx, gct,
+                                  w_rev_t.reshape(K * Cout, Cin),
+                                  feats.dtype, interpret)
+        d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
+        return (d_feats.reshape(-1, Cin), None, None, d_w)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
-                      lidx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+                      lidx: jnp.ndarray, weight: jnp.ndarray,
+                      granule: int = 1) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k] via the chunked one-hot
     kernel. SUBMANIFOLD maps only (cap_in == cap_out and nbr self-transpose
     under offset reversal — the property the backward relies on).
 
     feats [N, Cin] with N == C*M; weight [K, Cin, Cout]. Returns [N, Cout].
     """
-    return _fwd_impl(feats, in_idx, lidx, weight)
+    return _make_sub_conv(granule)(feats, in_idx, lidx, weight)
 
 
-def _chunk_conv_fwd(feats, in_idx, lidx, weight):
-    return _fwd_impl(feats, in_idx, lidx, weight), (feats, in_idx, lidx,
-                                                    weight)
+@functools.lru_cache(maxsize=None)
+def _make_t_conv(granule: int, t_granule: int):
+    @jax.custom_vjp
+    def f(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
+        return _fwd_impl(feats, in_idx, lidx, weight, granule)
 
+    def fwd(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
+        return f(feats, in_idx, lidx, t_in_idx, t_lidx, weight), (
+            feats, in_idx, lidx, t_in_idx, t_lidx, weight)
 
-def _chunk_conv_bwd(res, ct):
-    feats, in_idx, lidx, weight = res
-    K, Cin, Cout = weight.shape
-    ctc = ct.astype(feats.dtype)
-    C, _, M = lidx.shape
-    interpret = _interpret_default()
-    esize = jnp.dtype(feats.dtype).itemsize
+    def bwd(res, ct):
+        feats, in_idx, lidx, t_in_idx, t_lidx, weight = res
+        K, Cin, Cout = weight.shape
+        ctc = ct.astype(feats.dtype)
+        C, _, M = lidx.shape
+        Ct, _, Mt = t_lidx.shape
+        interpret = _interpret_default()
+        esize = jnp.dtype(feats.dtype).itemsize
 
-    # d_feats[i] = sum_k ct[nbr[i,k]] @ W[K-1-k]^T — the same chunked conv
-    # over ct with reversed-transposed weights; and because that kernel
-    # already stages Gct_k[m] = ct[nbr[m,k]], dW falls out of the SAME
-    # staging: dW[K-1-k] = sum_i feats[i] (x) Gct_k[i] (offset-reversal
-    # symmetry nbr[r,k]=i <=> nbr[i,K-1-k]=r). The fused kernel computes
-    # both with ONE one-hot build.
-    w_rev_t = jnp.transpose(weight[::-1], (0, 2, 1)).astype(feats.dtype)
-    gct = _stage(ctc, in_idx)
-    if _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize):
+        w_t = jnp.transpose(weight, (0, 2, 1)).astype(feats.dtype)
+        gct = _stage(ctc, t_in_idx, t_granule)
+        # same-k pairing: Gct_k[i] = ct[t_table[i,k]]; dW[k] = sum_i
+        # feats[i] (x) Gct_k[i] — fused with d_feats when VMEM allows
+        if Ct * Mt == feats.shape[0] and _bwd_fused_eligible(
+                K, Mt, Cout, Cin, Cout, esize):
+            with jax.enable_x64(False):
+                d_feats, dw_t = _pallas_bwd_fused(
+                    t_lidx, gct, w_t.reshape(K * Cout, Cin),
+                    feats.reshape(Ct, Mt, Cin), Cin, interpret)
+            d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                                (1, 0, 2)).astype(weight.dtype)
+            return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+
+        gin = _stage(feats, in_idx, granule)
         with jax.enable_x64(False):
-            d_feats, dw_t = _pallas_bwd_fused(
-                lidx, gct, w_rev_t.reshape(K * Cout, Cin),
-                feats.reshape(C, M, Cin), Cin, interpret)
-        d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
-                            (1, 0, 2))[::-1].astype(weight.dtype)
-        return (d_feats.reshape(-1, Cin), None, None, d_w)
+            dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
+                                 interpret)
+            d_feats = _pallas_fwd(t_lidx, gct, w_t.reshape(K * Cout, Cin),
+                                  feats.dtype, interpret)
+        d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
+        return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
 
-    # fallback: separate dW kernel (gathers feats via the forward map, so
-    # no K reversal there)
-    gin = _stage(feats, in_idx)
-    with jax.enable_x64(False):
-        dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout), interpret)
-        d_feats = _pallas_fwd(lidx, gct,
-                              w_rev_t.reshape(K * Cout, Cin),
-                              feats.dtype, interpret)
-    d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
-    return (d_feats.reshape(-1, Cin), None, None, d_w)
+    f.defvjp(fwd, bwd)
+    return f
 
 
-chunk_gather_conv.defvjp(_chunk_conv_fwd, _chunk_conv_bwd)
-
-
-@jax.custom_vjp
 def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
                         lidx: jnp.ndarray, t_in_idx: jnp.ndarray,
-                        t_lidx: jnp.ndarray, weight: jnp.ndarray
+                        t_lidx: jnp.ndarray, weight: jnp.ndarray,
+                        granule: int = 1, t_granule: int = 1
                         ) -> jnp.ndarray:
     """Chunked conv with an EXPLICIT transpose chunk plan — the general
     (non-submanifold) form used by strided convolution (fwd table = child,
@@ -382,47 +491,8 @@ def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
     fwd_table[r,k] == i  <=>  t_table[i,k] == r (the child/up identity), so
     d_feats[i] = sum_k ct[t_table[i,k]] @ W[k]^T with NO offset reversal.
     """
-    return _fwd_impl(feats, in_idx, lidx, weight)
-
-
-def _chunk_conv_t_fwd(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
-    return _fwd_impl(feats, in_idx, lidx, weight), (
-        feats, in_idx, lidx, t_in_idx, t_lidx, weight)
-
-
-def _chunk_conv_t_bwd(res, ct):
-    feats, in_idx, lidx, t_in_idx, t_lidx, weight = res
-    K, Cin, Cout = weight.shape
-    ctc = ct.astype(feats.dtype)
-    C, _, M = lidx.shape
-    Ct, _, Mt = t_lidx.shape
-    interpret = _interpret_default()
-    esize = jnp.dtype(feats.dtype).itemsize
-
-    w_t = jnp.transpose(weight, (0, 2, 1)).astype(feats.dtype)
-    gct = _stage(ctc, t_in_idx)
-    # same-k pairing: Gct_k[i] = ct[t_table[i,k]]; dW[k] = sum_i
-    # feats[i] (x) Gct_k[i] — fused with d_feats when VMEM allows
-    if Ct * Mt == feats.shape[0] and _bwd_fused_eligible(
-            K, Mt, Cout, Cin, Cout, esize):
-        with jax.enable_x64(False):
-            d_feats, dw_t = _pallas_bwd_fused(
-                t_lidx, gct, w_t.reshape(K * Cout, Cin),
-                feats.reshape(Ct, Mt, Cin), Cin, interpret)
-        d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
-                            (1, 0, 2)).astype(weight.dtype)
-        return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
-
-    gin = _stage(feats, in_idx)
-    with jax.enable_x64(False):
-        dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout), interpret)
-        d_feats = _pallas_fwd(t_lidx, gct, w_t.reshape(K * Cout, Cin),
-                              feats.dtype, interpret)
-    d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
-    return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
-
-
-chunk_gather_conv_t.defvjp(_chunk_conv_t_fwd, _chunk_conv_t_bwd)
+    return _make_t_conv(granule, t_granule)(feats, in_idx, lidx, t_in_idx,
+                                            t_lidx, weight)
 
 
 def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
@@ -438,7 +508,7 @@ def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
 # ---------------------------------------------------------------------------
 
 def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
-                       U: int = DEFAULT_U
+                       U: int = DEFAULT_U, granule: int = 1
                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Per-chunk deduped input lists + local indices for a neighbor map.
 
@@ -459,12 +529,17 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
         return None
     C = cap // M
 
-    from occuseg_tpu.native import plan_chunks_native
-    native = plan_chunks_native(nbr, M, U)
-    if native is not None:
-        return native if native[0] is not None else None
+    if granule == 1:
+        from occuseg_tpu.native import plan_chunks_native
+        native = plan_chunks_native(nbr, M, U)
+        if native is not None:
+            return native if native[0] is not None else None
 
-    rows3 = nbr.reshape(C, M, K)
+    # with granule g, dedup over GRANULE ids; each granule takes g staged
+    # slots, so capacity is U // g granules
+    lg = granule.bit_length() - 1
+    assert (1 << lg) == granule, "granule must be a power of two"
+    rows3 = np.where(nbr >= 0, nbr >> lg, -1).reshape(C, M, K)
 
     # per-chunk sorted refs: -1 padding sorts first
     s = np.sort(rows3.reshape(C, M * K), axis=1)
@@ -472,7 +547,7 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
     first_of_run[:, 1:] = s[:, 1:] != s[:, :-1]
     new = first_of_run & (s >= 0)
     counts = new.sum(axis=1)
-    if counts.max(initial=0) > U:
+    if counts.max(initial=0) > U // granule:
         return None
 
     # flat (chunk-major) unique ref list; keys c*cap+ref strictly increase
@@ -482,7 +557,7 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
     chunk_of = np.repeat(np.arange(C, dtype=np.int64), counts)
     all_keys = chunk_of * cap + all_refs
 
-    in_idx = np.full((C, U), -1, np.int32)
+    in_idx = np.full((C, U // granule), -1, np.int32)
     within = np.arange(all_refs.size, dtype=np.int64) - starts[chunk_of]
     in_idx[chunk_of, within] = all_refs.astype(np.int32)
 
@@ -490,21 +565,26 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
     qk = (np.arange(C, dtype=np.int64)[:, None, None] * cap
           + np.where(valid, rows3, 0))
     pos = np.searchsorted(all_keys, qk.reshape(-1)).reshape(C, M, K)
-    local = pos - starts[:C, None, None]
+    local = (pos - starts[:C, None, None]) * granule
+    if granule > 1:
+        local = local + np.where(nbr >= 0, nbr & (granule - 1),
+                                 0).reshape(C, M, K)
     lidx = np.where(valid, local, -1).astype(np.int32)
     return in_idx, np.ascontiguousarray(lidx.transpose(0, 2, 1))
 
 
-def _chunk_or_none(table: np.ndarray, M: int, u: int):
+def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
     if table.shape[0] % M != 0:
         return None
-    arrs = build_chunk_arrays(table, M, u)
+    arrs = build_chunk_arrays(table, M, u, granule)
     return None if arrs is None else ChunkPlan(in_idx=arrs[0],
-                                               lidx=arrs[1])
+                                               lidx=arrs[1],
+                                               granule=granule)
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
-                             U_child=None, U_up: int = 384):
+                             U_child=None, U_up: int = 384,
+                             granule: int = 1):
     """Attach ChunkPlans to every eligible level AND transition of a
     host-built Topology (NumPy leaves). Maps that overflow their U keep
     chunks=None (XLA path).
@@ -518,14 +598,20 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     shapes — it must come from these static tables, never from the batch at
     hand, or every batch recompiles."""
     if U is None:
-        U = ((288, 352, 416, 416, 416, 352) if M == 128
+        # TIGHT: one-hot FLOPs scale with U and dominate the kernels —
+        # measured +15% U cost +36 ms/step. Measured maxima at M=128:
+        # 231/287/321/325/317/260; a level that overflows just falls back.
+        U = ((256, 320, 384, 384, 384, 320) if M == 128
              else (512, 512, 640, 640, 640, 640))
     if U_child is None:
         U_child = (768, 1152, 1408, 1536, 1408)
+    if granule > 1 and isinstance(U, tuple):
+        # granule dedup inflates per-chunk slots ~10-25% (exp stats)
+        U = tuple(-(-int(u * 1.3) // granule) * granule for u in U)
     new_levels = []
     for li, lvl in enumerate(plan.levels):
         u = U if isinstance(U, int) else U[min(li, len(U) - 1)]
-        chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u)
+        chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u, granule)
         new_levels.append(dataclasses.replace(lvl, chunks=chunks))
     new_transitions = []
     for ti, tr in enumerate(plan.transitions):

@@ -59,6 +59,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="static level-0 voxel budget")
     p.add_argument("--instance_cap", type=int, default=128,
                    help="static per-device instance budget")
+    p.add_argument("--chunk_conv", type=int, default=1,
+                   help="attach Pallas chunk rulebooks to host plans "
+                        "(fused conv kernels); 0 = XLA conv path")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
     p.add_argument("--accum_steps", type=int, default=1,
@@ -93,7 +96,8 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "regress_sigma", "regress_weight", "displacement_weight",
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
               "instance_cap", "num_devices", "num_buckets", "accum_steps",
-              "spatial_shards", "spatial_halo", "spatial_pool", "load"):
+              "spatial_shards", "spatial_halo", "spatial_pool", "load",
+              "chunk_conv"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]

@@ -99,7 +99,7 @@ def get_dataset(config: Dict):
 
 def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     bucket_specs_list=None, spatial: Optional[Dict] = None,
-                    use_normals: bool = False
+                    use_normals: bool = False, chunks: bool = False
                     ) -> Iterator[Tuple[Dict, Optional[object], int]]:
     """Yield (batch, host_plan, bucket_index) with the C++ plan built one
     batch ahead in a worker thread — the loader-side analog of the
@@ -124,6 +124,11 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     bi, plan = 0, build_plan_host(
                         b["coords"], spec,
                         b.get("normals") if use_normals else None)
+                if chunks and plan is not None and spatial is None:
+                    from occuseg_tpu.ops.pallas.chunk_conv import (
+                        augment_plan_with_chunks,
+                    )
+                    plan = augment_plan_with_chunks(plan)
                 if spatial is not None and plan is not None:
                     from occuseg_tpu.parallel.spatial_model import (
                         prepare_shard_args,
@@ -144,10 +149,12 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
         yield item
 
 
-def _host_plan_any(coords: np.ndarray, spec, normals=None) -> object:
+def _host_plan_any(coords: np.ndarray, spec, normals=None,
+                   chunks: bool = False) -> object:
     """Host plan via the C++ builder, or the jitted builder as fallback
     (returns NumPy leaves either way). `normals` [P,3] enable the plan's
-    per-level orientation classes (--use_normal)."""
+    per-level orientation classes (--use_normal); `chunks` attaches the
+    Pallas chunk rulebooks (host plans only)."""
     from occuseg_tpu.core.topology import build_plan
     from occuseg_tpu.native.plan import build_plan_host
 
@@ -160,11 +167,17 @@ def _host_plan_any(coords: np.ndarray, spec, normals=None) -> object:
         else:
             plan = jax.device_get(
                 jax.jit(lambda c: build_plan(c, spec))(jnp.asarray(coords)))
+    elif chunks:
+        from occuseg_tpu.ops.pallas.chunk_conv import (
+            augment_plan_with_chunks,
+        )
+        plan = augment_plan_with_chunks(plan)
     return plan
 
 
 def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
-                       depth: int = 2, use_normals: bool = False
+                       depth: int = 2, use_normals: bool = False,
+                       bucket_specs_list=None, chunks: bool = False
                        ) -> Iterator[Tuple[Dict, object, int]]:
     """Group `n_dev` consecutive per-device batches, build each one's
     topology plan on the host, and yield (stacked_batch, stacked_plans, 0)
@@ -172,20 +185,30 @@ def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
     built inside the DP trace (VERDICT r1 #2).
 
     The epoch's remainder group is padded with copies of its last batch at
-    loss weight 0 ("_w"), so no scenes are dropped."""
+    loss weight 0 ("_w"), so no scenes are dropped. With
+    `bucket_specs_list`, the whole group shares the smallest bucket that
+    fits its largest member (stacked plans need identical caps)."""
     from occuseg_tpu.parallel.data_parallel import stack_plans
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
 
     def pack(group, weights):
-        plans = [_host_plan_any(b["coords"], spec,
-                                b.get("normals") if use_normals else None)
+        bi = 0
+        group_spec = spec
+        if bucket_specs_list is not None:
+            from occuseg_tpu.train.bucketing import pick_bucket
+            bi = max(pick_bucket(bucket_specs_list, b["coords"])
+                     for b in group)
+            group_spec = bucket_specs_list[bi]
+        plans = [_host_plan_any(b["coords"], group_spec,
+                                b.get("normals") if use_normals else None,
+                                chunks=chunks)
                  for b in group]
         stacked = {k: np.stack([b[k] for b in group])
                    for k in group[0] if k != "region"}
         stacked["_w"] = np.asarray(weights, np.float32)
-        return stacked, stack_plans(plans), 0
+        return stacked, stack_plans(plans), bi
 
     def worker():
         try:
@@ -266,7 +289,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     # they do not depend on the caps)
     num_buckets = int(config.get("num_buckets", 1))
     buckets = None
-    if num_buckets > 1 and n_dev == 1:
+    if num_buckets > 1:
         from occuseg_tpu.train.bucketing import bucket_specs
         buckets = bucket_specs(config["voxel_cap"],
                                len(config["unet_structure"]), num_buckets,
@@ -295,11 +318,20 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         n_dev = 1  # batches flow through the single-stream prefetcher
     elif n_dev > 1:
         mesh = make_mesh(n_dev)
-        step_fn = make_dp_train_step(model, spec, mesh, tcfg, lcfg,
-                                     num_scenes=batch_per_dev,
-                                     num_instances=i_cap)
+
+        def make_dp_fn(s):
+            return make_dp_train_step(model, s, mesh, tcfg, lcfg,
+                                      num_scenes=batch_per_dev,
+                                      num_instances=i_cap)
+        if buckets is not None:
+            # buckets compose with DP: the prefetcher assigns one bucket
+            # per GROUP (stacked plans share caps), one jitted step each
+            step_fns = [make_dp_fn(s) for s in buckets]
+            step_fn = step_fns[-1]
+        else:
+            step_fn = make_dp_fn(spec)
+            step_fns = [step_fn]
         state = replicate_state(state, mesh)
-        step_fns = None
     else:
         def make_fn(s):
             return jax.jit(make_train_step(
@@ -338,7 +370,9 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                 # step as sharded pytree inputs
                 source = dp_plan_prefetcher(
                     batches, spec, n_dev,
-                    use_normals=bool(config.get("use_normal")))
+                    use_normals=bool(config.get("use_normal")),
+                    bucket_specs_list=buckets,
+                    chunks=bool(config.get("chunk_conv", True)))
             else:
                 spatial = (dict(shards=n_spatial,
                                 halo=int(config.get("spatial_halo", 4096)),
@@ -347,7 +381,9 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                 source = plan_prefetcher(
                     batches, spec, bucket_specs_list=buckets,
                     spatial=spatial,
-                    use_normals=bool(config.get("use_normal")))
+                    use_normals=bool(config.get("use_normal")),
+                    chunks=bool(config.get("chunk_conv", True))
+                    and n_spatial <= 1)
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
@@ -381,7 +417,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                             scenes=batch_per_dev)
                     batch = shard_batch(raw, mesh)
                     plans = shard_plans(host_plan, mesh)
-                    state, parts = step_fn(state, batch, plans)
+                    fn = step_fns[bucket_i] if step_fns else step_fn
+                    state, parts = fn(state, batch, plans)
                 elif n_spatial > 1:
                     raw = {k: v for k, v in raw.items() if k != "region"}
                     batch = {k: jnp.asarray(v) for k, v in raw.items()}

@@ -254,3 +254,35 @@ def test_full_model_with_fully_chunked_plan():
     np.testing.assert_allclose(np.asarray(out_chunk.semantics),
                                np.asarray(out_ref.semantics),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_granule_staging_matches_granule1():
+    """Granule-2 staging (gather 2-row granules) is numerically identical
+    to granule-1 (same conv, bigger staged rows)."""
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    a1 = build_chunk_arrays(nbr, M, U, granule=1)
+    a2 = build_chunk_arrays(nbr, M, U, granule=2)
+    assert a1 is not None and a2 is not None
+    rng = np.random.default_rng(23)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    o1 = chunk_gather_conv(feats, jnp.asarray(a1[0]), jnp.asarray(a1[1]), w)
+    o2 = chunk_gather_conv(feats, jnp.asarray(a2[0]), jnp.asarray(a2[1]), w,
+                           granule=2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)
+
+    tgt = jnp.asarray(rng.standard_normal((CAP, 8)), jnp.float32)
+
+    def loss(f, ww, arrs, g):
+        o = chunk_gather_conv(f, jnp.asarray(arrs[0]), jnp.asarray(arrs[1]),
+                              ww, granule=g)
+        return jnp.sum((o - tgt) ** 2)
+
+    g1f, g1w = jax.grad(loss, argnums=(0, 1))(feats, w, a1, 1)
+    g2f, g2w = jax.grad(loss, argnums=(0, 1))(feats, w, a2, 2)
+    np.testing.assert_allclose(np.asarray(g2f), np.asarray(g1f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2w), np.asarray(g1w),
+                               rtol=1e-4, atol=1e-4)
