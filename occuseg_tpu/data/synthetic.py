@@ -96,7 +96,14 @@ def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
     # jitter points off the ideal surfaces (sensor noise)
     coords = coords + rng.normal(0, 0.4, coords.shape)
     coords = np.clip(coords, 0, E - 1)
-    colors = rng.uniform(-1, 1, (coords.shape[0], 3)).astype(np.float32)
+    # class-correlated colors (+ noise): real scans' appearance carries
+    # semantic signal; fully random colors made the semantic head
+    # unlearnable on synthetic data (soak val IoU ~0.08)
+    palette_rng = np.random.default_rng(12345)  # fixed across scenes
+    palette = palette_rng.uniform(-0.8, 0.8, (cfg.num_classes, 3))
+    colors = (palette[labels]
+              + rng.normal(0, 0.25, (coords.shape[0], 3))).astype(np.float32)
+    colors = np.clip(colors, -1, 1)
     return {"xyz": coords.astype(np.float32), "colors": colors,
             "labels": labels, "instance_id": inst,
             "normals": normals.astype(np.float32)}

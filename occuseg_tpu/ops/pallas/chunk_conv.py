@@ -151,27 +151,34 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int):
 
 
 def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
-    def kernel(lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc):
+    def kernel(nz_ref, lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc):
         """Grid (C, CO, KG), kg fastest: the f32 accumulator spans the
         contiguous kg revisits of one (chunk, Cout-block); out is written
-        once at the last kg."""
+        once at the last kg. All-pad chunks (nz==0, beyond num_active or a
+        loose bucket cap) skip the one-hot build and matmuls entirely."""
         kg = pl.program_id(2)
-        if n_kg == 1 and n_co > 1:
-            # single k-group: the staged G is valid for every Cout block
-            @pl.when(pl.program_id(1) == 0)
-            def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin)
-        else:
-            _build_g(lidx_ref, gin_ref, g_scratch, cin)
+        nz = nz_ref[0, 0, 0] > 0
 
         @pl.when(kg == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        acc[:] += jax.lax.dot_general(
-            g_scratch[:], w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if n_kg == 1 and n_co > 1:
+            # single k-group: the staged G is valid for every Cout block
+            @pl.when(nz & (pl.program_id(1) == 0))
+            def _():
+                _build_g(lidx_ref, gin_ref, g_scratch, cin)
+        else:
+            @pl.when(nz)
+            def _():
+                _build_g(lidx_ref, gin_ref, g_scratch, cin)
+
+        @pl.when(nz)
+        def _():
+            acc[:] += jax.lax.dot_general(
+                g_scratch[:], w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(kg == n_kg - 1)
         def _():
@@ -180,27 +187,35 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
 
 
 def _make_bwd_fused_kernel(n_c: int, cin: int):
-    def kernel(lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
-               g_scratch):
+    def kernel(nz_ref, lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref,
+               dw_ref, g_scratch):
         """Fused backward (grid (C,)): the staged-Gct scratch serves BOTH
         d_feats (Gct @ W') and dW (feats_c^T @ Gct) — one one-hot build
-        instead of two. dW accumulates across the contiguous c revisits."""
+        instead of two. dW accumulates across the contiguous c revisits;
+        all-pad chunks skip everything but zero writes."""
         c = pl.program_id(0)
-        _build_g(lidx_ref, gct_ref, g_scratch, cin)
-        dfeats_ref[0] = jax.lax.dot_general(
-            g_scratch[:], wt_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dfeats_ref.dtype)
+        nz = nz_ref[0, 0, 0] > 0
 
         @pl.when(c == 0)
         def _():
             dw_ref[:] = jnp.zeros_like(dw_ref)
 
-        # [Cin, K*Cout]: column block k pairs with Gct_k
-        dw_ref[:] += jax.lax.dot_general(
-            feats_ref[0], g_scratch[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        @pl.when(nz)
+        def _():
+            _build_g(lidx_ref, gct_ref, g_scratch, cin)
+            dfeats_ref[0] = jax.lax.dot_general(
+                g_scratch[:], wt_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dfeats_ref.dtype)
+            # [Cin, K*Cout]: column block k pairs with Gct_k
+            dw_ref[:] += jax.lax.dot_general(
+                feats_ref[0], g_scratch[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(jnp.logical_not(nz))
+        def _():
+            dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
     return kernel
 
 
@@ -227,10 +242,13 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     t_lidx = t_lidx.reshape(C, 1, K, M)
     r = _lane_pack(Ct, U)
     gct = gct.reshape(C, U // r, r * Ct)
+    nz = _chunk_nonempty(t_lidx, C, 1, K, M)
     d_feats, dw_t = pl.pallas_call(
         _make_bwd_fused_kernel(C, Ct),
         grid=(C,),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K, M), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Ct), lambda c: (c, 0, 0),
@@ -252,26 +270,37 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
         ),
         scratch_shapes=[pltpu.VMEM((M, K * Ct), gct.dtype)],
         interpret=interpret,
-    )(t_lidx, gct, w_t, feats_c)
+    )(nz, t_lidx, gct, w_t, feats_c)
     return d_feats, dw_t
 
 
 def _make_dw_kernel(n_c: int, cin: int):
-    def kernel(lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch):
+    def kernel(nz_ref, lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch):
         """Grid (KG, CO, C), c fastest: each dW block's chunk revisits are
         contiguous, so read-modify-write accumulation is safe."""
         c = pl.program_id(2)
-        _build_g(lidx_ref, gin_ref, g_scratch, cin)
 
         @pl.when(c == 0)
         def _():
             dw_ref[:] = jnp.zeros_like(dw_ref)
 
-        dw_ref[:] += jax.lax.dot_general(
-            g_scratch[:], ct_ref[0],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        @pl.when(nz_ref[0, 0, 0] > 0)
+        def _():
+            _build_g(lidx_ref, gin_ref, g_scratch, cin)
+            dw_ref[:] += jax.lax.dot_general(
+                g_scratch[:], ct_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     return kernel
+
+
+def _chunk_nonempty(lidx4, C, n_kg, G, M) -> jnp.ndarray:
+    """[C, 1] int32 flag: does the chunk have ANY real rulebook entry?
+    (The center offset makes every active row appear, so all-(-1) means
+    the chunk is pure cap padding — or beyond a loose bucket's actives.)"""
+    flag = (jnp.max(lidx4.reshape(C, n_kg * G * M), axis=1) >= 0)
+    # [C, 1, 1]: the last two block dims must equal the array dims
+    return flag.astype(jnp.int32).reshape(C, 1, 1)
 
 
 def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
@@ -285,10 +314,13 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
     lidx = lidx.reshape(C, n_kg, G, M)
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
+    nz = _chunk_nonempty(lidx, C, n_kg, G, M)
     return pl.pallas_call(
         _make_fwd_kernel(n_kg, n_co, Cin),
         grid=(C, n_co, n_kg),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda c, co, kg: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G, M), lambda c, co, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin),
@@ -303,7 +335,7 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype),
                         pltpu.VMEM((M, co_blk), jnp.float32)],
         interpret=interpret,
-    )(lidx, gin, w_flat)
+    )(nz, lidx, gin, w_flat)
 
 
 def _pallas_dw(lidx, gin, ct_c, interpret):
@@ -315,10 +347,13 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
     lidx = lidx.reshape(C, K // G, G, M)
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
+    nz = _chunk_nonempty(lidx, C, K // G, G, M)
     return pl.pallas_call(
         _make_dw_kernel(C, Cin),
         grid=(K // G, Cout // co_blk, C),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda kg, co, c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G, M), lambda kg, co, c: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin), lambda kg, co, c: (c, 0, 0),
@@ -332,7 +367,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
         out_shape=jax.ShapeDtypeStruct((K * Cin, Cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype)],
         interpret=interpret,
-    )(lidx, gin, ct_c)
+    )(nz, lidx, gin, ct_c)
 
 
 def _stage(feats, in_idx, granule: int = 1):

@@ -461,6 +461,19 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                 ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
                                      step=epoch + 1)
                 ckpt.gc_checkpoints(ckpt_dir)
+                # reference evaluates at every snapshot
+                # (train_instance.py:465-473)
+                if config.get("eval_on_snapshot", True) and                         max_steps is None:
+                    try:
+                        metrics = evaluate_semantic(config, state, model,
+                                                    spec, dataset=dataset)
+                        log.info("epoch %d val mean IoU: %.4f", epoch,
+                                 metrics["mean_iou"])
+                        if writer:
+                            writer.add_scalar("val/mean_iou",
+                                              metrics["mean_iou"], epoch)
+                    except Exception as e:  # eval must never kill training
+                        log.warning("snapshot eval failed: %r", e)
             if max_steps is not None and step >= max_steps:
                 break
     except KeyboardInterrupt:
@@ -470,11 +483,13 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     return {"state": state, "model": model, "spec": spec, "steps": step}
 
 
-def evaluate_semantic(config: Dict, state, model, spec) -> Dict:
+def evaluate_semantic(config: Dict, state, model, spec,
+                      dataset=None) -> Dict:
     """Per-epoch semantic eval: mean IoU over the val split, averaging
     logits over `val_reps` rotated views (reference `evaluate`,
     `train_instance.py:258-342`, accumulation into `store`)."""
-    dataset = get_dataset(config)
+    if dataset is None:
+        dataset = get_dataset(config)
     p_cap = config["point_cap"]
     i_cap = config["instance_cap"]
     reps = max(int(config.get("val_reps", 1)), 1)

@@ -52,9 +52,16 @@ def main() -> None:
     sample_j = {k: jnp.asarray(v) for k, v in sample.items() if k != "region"}
     state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec)
     if config.get("load"):
-        from occuseg_tpu.train.checkpoint import restore_checkpoint
-        state = restore_checkpoint(config["load"], jax.device_get(state))
-        logging.info("restored %s", config["load"])
+        import os
+        from occuseg_tpu.train.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+        path = config["load"]
+        if os.path.isdir(path) and latest_checkpoint(path):
+            path = latest_checkpoint(path)
+        state = restore_checkpoint(path, jax.device_get(state))
+        logging.info("restored %s", path)
 
     ev = jax.jit(make_eval_step(model, spec))
     all_props, all_gts = [], []
