@@ -81,6 +81,8 @@ def main() -> None:
         g_env = int(os.environ.get("OCC_GRANULE", 0) or 0)
         if g_env:
             kw["granule"] = g_env
+        if NUM_SCENES > 1:
+            kw["u_bump"] = 32
         host_plan = augment_plan_with_chunks(host_plan, **kw)
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
         print(f"chunked levels: {n_chunked}/{len(host_plan.levels)}",

@@ -618,8 +618,8 @@ def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
-                             U_child=None, U_up: int = 384,
-                             granule: int = 1):
+                             U_child=None, U_up: int = None,
+                             granule: int = 1, u_bump: int = 0):
     """Attach ChunkPlans to every eligible level AND transition of a
     host-built Topology (NumPy leaves). Maps that overflow their U keep
     chunks=None (XLA path).
@@ -639,14 +639,35 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
         U = ((256, 320, 384, 384, 384, 320) if M == 128
              else (512, 512, 640, 640, 640, 640))
     if U_child is None:
-        U_child = (768, 1152, 1408, 1536, 1408)
+        # measured child maxima at M=128: 346/489/617/672/662
+        U_child = ((416, 576, 704, 768, 768) if M == 128
+                   else (768, 1152, 1408, 1536, 1408))
+    if U_up is None:
+        # measured up maxima at M=128: 122/90/55/41/36
+        U_up = 160 if M == 128 else 384
+
+    def _bumped(u):
+        return u + u_bump if isinstance(u, int) \
+            else tuple(x + u_bump for x in u)
+
+    if u_bump:
+        # multi-scene batches: chunks spanning scene boundaries mix two
+        # scenes' refs (measured +15% max uniq at batch 4 — L0/L1 overflow
+        # without this, and an XLA fallback at 4x table size is ruinous)
+        U, U_child, U_up = _bumped(U), _bumped(U_child), _bumped(U_up)
     if granule > 1 and isinstance(U, tuple):
         # granule dedup inflates per-chunk slots ~10-25% (exp stats)
         U = tuple(-(-int(u * 1.3) // granule) * granule for u in U)
+    import logging
+    logger = logging.getLogger("occuseg_tpu")
     new_levels = []
     for li, lvl in enumerate(plan.levels):
         u = U if isinstance(U, int) else U[min(li, len(U) - 1)]
         chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u, granule)
+        if chunks is None and np.asarray(lvl.nbr).shape[0] % M == 0:
+            logger.warning(
+                "chunk plan overflow at level %d (U=%d) — falling back to "
+                "the XLA conv path for this batch", li, u)
         new_levels.append(dataclasses.replace(lvl, chunks=chunks))
     new_transitions = []
     for ti, tr in enumerate(plan.transitions):

@@ -99,7 +99,8 @@ def get_dataset(config: Dict):
 
 def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     bucket_specs_list=None, spatial: Optional[Dict] = None,
-                    use_normals: bool = False, chunks: bool = False
+                    use_normals: bool = False, chunks: bool = False,
+                    u_bump: int = 0
                     ) -> Iterator[Tuple[Dict, Optional[object], int]]:
     """Yield (batch, host_plan, bucket_index) with the C++ plan built one
     batch ahead in a worker thread — the loader-side analog of the
@@ -128,7 +129,7 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     from occuseg_tpu.ops.pallas.chunk_conv import (
                         augment_plan_with_chunks,
                     )
-                    plan = augment_plan_with_chunks(plan)
+                    plan = augment_plan_with_chunks(plan, u_bump=u_bump)
                 if spatial is not None and plan is not None:
                     from occuseg_tpu.parallel.spatial_model import (
                         prepare_shard_args,
@@ -150,7 +151,7 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
 
 
 def _host_plan_any(coords: np.ndarray, spec, normals=None,
-                   chunks: bool = False) -> object:
+                   chunks: bool = False, u_bump: int = 0) -> object:
     """Host plan via the C++ builder, or the jitted builder as fallback
     (returns NumPy leaves either way). `normals` [P,3] enable the plan's
     per-level orientation classes (--use_normal); `chunks` attaches the
@@ -171,13 +172,14 @@ def _host_plan_any(coords: np.ndarray, spec, normals=None,
         from occuseg_tpu.ops.pallas.chunk_conv import (
             augment_plan_with_chunks,
         )
-        plan = augment_plan_with_chunks(plan)
+        plan = augment_plan_with_chunks(plan, u_bump=u_bump)
     return plan
 
 
 def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
                        depth: int = 2, use_normals: bool = False,
-                       bucket_specs_list=None, chunks: bool = False
+                       bucket_specs_list=None, chunks: bool = False,
+                       u_bump: int = 0
                        ) -> Iterator[Tuple[Dict, object, int]]:
     """Group `n_dev` consecutive per-device batches, build each one's
     topology plan on the host, and yield (stacked_batch, stacked_plans, 0)
@@ -203,7 +205,7 @@ def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
             group_spec = bucket_specs_list[bi]
         plans = [_host_plan_any(b["coords"], group_spec,
                                 b.get("normals") if use_normals else None,
-                                chunks=chunks)
+                                chunks=chunks, u_bump=u_bump)
                  for b in group]
         stacked = {k: np.stack([b[k] for b in group])
                    for k in group[0] if k != "region"}
@@ -372,7 +374,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     batches, spec, n_dev,
                     use_normals=bool(config.get("use_normal")),
                     bucket_specs_list=buckets,
-                    chunks=bool(config.get("chunk_conv", True)))
+                    chunks=bool(config.get("chunk_conv", True)),
+                    u_bump=32 if batch_per_dev > 1 else 0)
             else:
                 spatial = (dict(shards=n_spatial,
                                 halo=int(config.get("spatial_halo", 4096)),
@@ -383,7 +386,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     spatial=spatial,
                     use_normals=bool(config.get("use_normal")),
                     chunks=bool(config.get("chunk_conv", True))
-                    and n_spatial <= 1)
+                    and n_spatial <= 1,
+                    u_bump=32 if batch_per_dev > 1 else 0)
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
