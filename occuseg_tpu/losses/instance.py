@@ -194,16 +194,21 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
 
     d1 = d_emb * sig[None, :, 0]
     d2 = d_spat_r * sig[None, :, 1]
-    prob = jnp.exp(-(d1 * d1) - (d2 * d2))
-    prob = jnp.clip(prob, 1e-7, 1 - 1e-7)
-    bce = -(member * jnp.log(prob) + (~member) * jnp.log1p(-prob))
+    # prob = exp(-s); BCE computed directly in s-space: -log(prob) = s and
+    # -log1p(-prob) = -log(-expm1(-s)). Identical to the exp/clip/log/log1p
+    # chain (the clip on prob maps to a clip on s) but two transcendental
+    # passes over [P, I] instead of four — this loss is the largest single
+    # cost of the flagship step after the convs.
+    s = d1 * d1 + d2 * d2
+    s = jnp.clip(s, 1.0000001e-7, 16.11809565095832)  # prob in [1e-7, 1-1e-7]
+    bce = jnp.where(member, s, -jnp.log(-jnp.expm1(-s)))
     bce = jnp.where(sample, bce, 0)
     n_samp = jnp.maximum(jnp.sum(sample, axis=0), 1)
     per_inst = jnp.sum(bce, axis=0) / n_samp
     n_inst = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
     loss = jnp.sum(jnp.where(use, per_inst, 0)) / n_inst * cfg.classification_weight
 
-    pred = (prob > 0.5) & sample
+    pred = (s < 0.6931471805599453) & sample  # prob = exp(-s) > 0.5
     gt = member & sample
     tp = jnp.sum((pred & gt), axis=0).astype(jnp.float32)
     fp = jnp.sum((pred & ~gt), axis=0).astype(jnp.float32)

@@ -393,7 +393,8 @@ def _stage(feats, in_idx, granule: int = 1):
     return out.reshape(C, Ug * granule, Cin)
 
 
-def _fwd_impl(feats, in_idx, lidx, weight, granule=1):
+def _fwd_impl(feats, in_idx, lidx, weight, granule=1,
+              return_gin: bool = False):
     K, Cin, Cout = weight.shape
     out_dtype = feats.dtype
     gin = _stage(feats, in_idx, granule)
@@ -401,7 +402,8 @@ def _fwd_impl(feats, in_idx, lidx, weight, granule=1):
     with jax.enable_x64(False):
         out = _pallas_fwd(lidx, gin, w_flat, out_dtype,
                           _interpret_default())
-    return out.reshape(-1, Cout)
+    out = out.reshape(-1, Cout)
+    return (out, gin) if return_gin else out
 
 
 @functools.lru_cache(maxsize=None)
@@ -413,10 +415,23 @@ def _make_sub_conv(granule: int):
         return _fwd_impl(feats, in_idx, lidx, weight, granule)
 
     def fwd(feats, in_idx, lidx, weight):
-        return f(feats, in_idx, lidx, weight), (feats, in_idx, lidx, weight)
+        # when the fused backward will NOT apply (decided by STATIC shapes),
+        # keep the staged gin as a residual so bwd's dW kernel skips its
+        # re-staging gather (staging gathers measured ~25GB/s effective)
+        K, Cin, Cout = weight.shape
+        C, _, M = lidx.shape
+        esize = jnp.dtype(feats.dtype).itemsize
+        fused = _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize)
+        if fused:
+            out = _fwd_impl(feats, in_idx, lidx, weight, granule)
+            gin = None
+        else:
+            out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
+                                 return_gin=True)
+        return out, (feats, in_idx, lidx, weight, gin)
 
     def bwd(res, ct):
-        feats, in_idx, lidx, weight = res
+        feats, in_idx, lidx, weight, gin_saved = res
         K, Cin, Cout = weight.shape
         ctc = ct.astype(feats.dtype)
         C, _, M = lidx.shape
@@ -442,7 +457,8 @@ def _make_sub_conv(granule: int):
 
         # fallback: separate dW kernel (gathers feats via the forward map,
         # so no K reversal there)
-        gin = _stage(feats, in_idx, granule)
+        gin = gin_saved if gin_saved is not None \
+            else _stage(feats, in_idx, granule)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
                                  interpret)
@@ -475,11 +491,21 @@ def _make_t_conv(granule: int, t_granule: int):
         return _fwd_impl(feats, in_idx, lidx, weight, granule)
 
     def fwd(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
-        return f(feats, in_idx, lidx, t_in_idx, t_lidx, weight), (
-            feats, in_idx, lidx, t_in_idx, t_lidx, weight)
+        K, Cin, Cout = weight.shape
+        Ct, _, Mt = t_lidx.shape
+        esize = jnp.dtype(feats.dtype).itemsize
+        fused = (Ct * Mt == feats.shape[0]
+                 and _bwd_fused_eligible(K, Mt, Cout, Cin, Cout, esize))
+        if fused:
+            out = _fwd_impl(feats, in_idx, lidx, weight, granule)
+            gin = None
+        else:
+            out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
+                                 return_gin=True)
+        return out, (feats, in_idx, lidx, t_in_idx, t_lidx, weight, gin)
 
     def bwd(res, ct):
-        feats, in_idx, lidx, t_in_idx, t_lidx, weight = res
+        feats, in_idx, lidx, t_in_idx, t_lidx, weight, gin_saved = res
         K, Cin, Cout = weight.shape
         ctc = ct.astype(feats.dtype)
         C, _, M = lidx.shape
@@ -501,7 +527,8 @@ def _make_t_conv(granule: int, t_granule: int):
                                 (1, 0, 2)).astype(weight.dtype)
             return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
 
-        gin = _stage(feats, in_idx, granule)
+        gin = gin_saved if gin_saved is not None \
+            else _stage(feats, in_idx, granule)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
                                  interpret)

@@ -121,3 +121,23 @@ def test_perfect_occupancy_gives_zero_loss():
     out = _outputs(rng)._replace(occupancy=batch["occupancy"])
     _, parts = occuseg_total_loss(out, batch, S, I)
     assert float(parts["occupancy_loss"]) < 1e-5
+
+
+def test_classification_bce_s_space_matches_prob_space():
+    """The s-space BCE (two transcendental passes) must equal the original
+    prob-space exp/clip/log/log1p chain."""
+    rng = np.random.default_rng(0)
+    s_raw = jnp.asarray(rng.uniform(0, 25, (1000,)), jnp.float32)
+    member = jnp.asarray(rng.random(1000) < 0.3)
+
+    prob = jnp.clip(jnp.exp(-s_raw), 1e-7, 1 - 1e-7)
+    old = -(member * jnp.log(prob) + (~member) * jnp.log1p(-prob))
+
+    s = jnp.clip(s_raw, 1.0000001e-7, 16.11809565095832)
+    new = jnp.where(member, s, -jnp.log(-jnp.expm1(-s)))
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               rtol=1e-5, atol=1e-6)
+    # decision boundary identical
+    np.testing.assert_array_equal(
+        np.asarray(jnp.exp(-s_raw) > 0.5),
+        np.asarray(s_raw < 0.6931471805599453))
