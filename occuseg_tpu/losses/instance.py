@@ -52,7 +52,33 @@ def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 
 def _seg_sum(x, seg, num):
+    """Segment sum. TPU scatter-add (what jax.ops.segment_sum lowers to)
+    serializes on duplicate indices; for the small segment counts here
+    (instances/scenes) a one-hot [num, P] @ [P, C] product runs on the
+    MXU instead."""
+    if num <= 128:
+        oh = (seg[None, :]
+              == jnp.arange(num, dtype=seg.dtype)[:, None]).astype(
+            jnp.float32)
+        xf = x.astype(jnp.float32)
+        if x.ndim == 1:
+            return jax.lax.dot_general(
+                oh, xf[:, None], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0].astype(x.dtype)
+        return jax.lax.dot_general(
+            oh, xf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
     return jax.ops.segment_sum(x, seg, num_segments=num)
+
+
+def _seg_max(x, seg, num, fill):
+    """Segment max via masked [P, num] reduction (scatter-free) for small
+    num; `fill` is the empty-segment value."""
+    if num <= 128:
+        m = seg[:, None] == jnp.arange(num, dtype=seg.dtype)[None, :]
+        vals = jnp.where(m, x[:, None], fill)
+        return jnp.max(vals, axis=0)
+    return jax.ops.segment_max(x, seg, num_segments=num)
 
 
 def _seg_mean(x, seg, num):
@@ -83,12 +109,10 @@ def _instance_stats(instance_id: jnp.ndarray, point_scene: jnp.ndarray,
     seg = _sanitize_seg(instance_id, num_instances)
     ones = jnp.ones_like(seg, jnp.float32)
     count = _seg_sum(jnp.where(instance_id >= 0, ones, 0), seg, num_instances + 1)[:num_instances]
-    scene = jax.ops.segment_max(
-        jnp.where(instance_id >= 0, point_scene, -1), seg,
-        num_segments=num_instances + 1)[:num_instances]
-    cls = jax.ops.segment_max(
-        jnp.where(instance_id >= 0, labels, -10000), seg,
-        num_segments=num_instances + 1)[:num_instances]
+    scene = _seg_max(jnp.where(instance_id >= 0, point_scene, -1), seg,
+                     num_instances + 1, -1)[:num_instances]
+    cls = _seg_max(jnp.where(instance_id >= 0, labels, -10000), seg,
+                   num_instances + 1, -10000)[:num_instances]
     exists = count > 0
     return scene, count, cls, exists
 
@@ -116,8 +140,8 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
                   / jnp.maximum(per_scene_cnt[:num_scenes], 1))
 
     # push (distance) term: same-scene centroid pairs
-    iscene = jax.ops.segment_max(
-        jnp.where(valid_pt, point_scene, -1), seg, num_segments=I + 1)[:I]
+    iscene = _seg_max(jnp.where(valid_pt, point_scene, -1), seg,
+                      I + 1, -1)[:I]
     d = _safe_norm(mu[:, None, :] - mu[None, :, :], axis=-1)
     same_scene = (iscene[:, None] == iscene[None, :])
     pair_ok = (same_scene & exists[:, None] & exists[None, :]
@@ -185,8 +209,7 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     # instance radius = max spatial distance of its own points to its center
     own_d = jnp.take_along_axis(
         d_spat, jnp.clip(seg, 0, I - 1)[:, None], axis=1)[:, 0]
-    radius = jax.ops.segment_max(
-        jnp.where(valid_pt, own_d, 0), seg, num_segments=I + 1)[:I]
+    radius = _seg_max(jnp.where(valid_pt, own_d, 0), seg, I + 1, 0.0)[:I]
 
     same_scene = point_scene[:, None] == scene_i[None, :]
     sample = (d_spat < 4.0 * radius[None, :]) & same_scene & use[None, :]
