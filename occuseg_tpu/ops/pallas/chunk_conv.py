@@ -383,12 +383,16 @@ def _stage(feats, in_idx, granule: int = 1):
     fewer, bigger rows."""
     C, Ug = in_idx.shape
     safe = jnp.maximum(in_idx.reshape(-1), 0)
+    # mode="clip": jnp.take's DEFAULT is "fill", which re-adds the
+    # bounds-check select pass (~10 ms/step of broadcast_select fusions)
+    # even though `safe` is already in-bounds
     if granule == 1:
-        return jnp.take(feats, safe, axis=0, unique_indices=False,
+        return jnp.take(feats, safe, axis=0, mode="clip",
+                        unique_indices=False,
                         indices_are_sorted=False).reshape(C, Ug, -1)
     N, Cin = feats.shape
     fg = feats.reshape(N // granule, granule * Cin)
-    out = jnp.take(fg, safe, axis=0, unique_indices=False,
+    out = jnp.take(fg, safe, axis=0, mode="clip", unique_indices=False,
                    indices_are_sorted=False)
     return out.reshape(C, Ug * granule, Cin)
 
