@@ -141,3 +141,27 @@ def test_classification_bce_s_space_matches_prob_space():
     np.testing.assert_array_equal(
         np.asarray(jnp.exp(-s_raw) > 0.5),
         np.asarray(s_raw < 0.6931471805599453))
+
+
+def test_onehot_segment_ops_match_scatter():
+    """_seg_sum/_seg_max one-hot forms (num <= 128, the MXU path) equal
+    jax.ops scatter forms."""
+    from occuseg_tpu.losses.instance import _seg_max, _seg_sum
+
+    rng = np.random.default_rng(3)
+    P, num = 5000, 65
+    seg = jnp.asarray(rng.integers(0, num, P).astype(np.int32))
+    x2 = jnp.asarray(rng.standard_normal((P, 7)), jnp.float32)
+    x1 = jnp.asarray(rng.standard_normal(P), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_seg_sum(x2, seg, num)),
+        np.asarray(jax.ops.segment_sum(x2, seg, num_segments=num)),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(_seg_sum(x1, seg, num)),
+        np.asarray(jax.ops.segment_sum(x1, seg, num_segments=num)),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(_seg_max(x1, seg, num, -1e30)),
+        np.asarray(jax.ops.segment_max(x1, seg, num_segments=num)),
+        rtol=1e-6)
