@@ -26,10 +26,14 @@ kernel over the transpose map (for submanifold conv, nbr is self-transpose
 with reversed offsets) with W'[k] = W[K-1-k]^T, and dW accumulates
 G^T @ ct per chunk across the grid.
 
-Morton-chunk locality (exp_r2_c, 182k-voxel ScanNet-like scene): at
-M=256, max unique refs per chunk are 392/446/560/525/484 for L0..L4 — so
-U=640 covers every level with margin; the host planner verifies per batch
-and returns None (XLA fallback) on overflow.
+Morton-chunk locality (182k-voxel ScanNet-like scene) sets the chunk
+geometry: at the default M=128, max unique refs per chunk are
+231/287/321/325/317/260 for L0..L5 (transition child maps up to 672, up
+maps <= 122); per-level U budgets hug these with margin, multi-scene
+batches get a +u_bump (boundary chunks mix scenes), and any map that
+overflows its budget falls back to the XLA conv path for that batch
+(with a logged warning). See PERF.md for the measured design trade-offs
+and negative results.
 """
 
 from __future__ import annotations
@@ -43,8 +47,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from occuseg_tpu.ops.gather import gather_rows
 
 # default chunk geometry (see module docstring); U leaves headroom over the
 # measured per-level maxima so unseen scenes rarely overflow. Sweep on
