@@ -487,6 +487,19 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     return {"state": state, "model": model, "spec": spec, "steps": step}
 
 
+_EVAL_STEP_CACHE: Dict = {}
+
+
+def _cached_eval_step(model, spec, use_normals: bool):
+    """One jitted eval step per (model, spec) — snapshot-epoch evals would
+    otherwise rebuild the closure and recompile every time."""
+    key = (model, spec, use_normals)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = jax.jit(
+            make_eval_step(model, spec, use_normals=use_normals))
+    return _EVAL_STEP_CACHE[key]
+
+
 def evaluate_semantic(config: Dict, state, model, spec,
                       dataset=None) -> Dict:
     """Per-epoch semantic eval: mean IoU over the val split, averaging
@@ -497,8 +510,7 @@ def evaluate_semantic(config: Dict, state, model, spec,
     p_cap = config["point_cap"]
     i_cap = config["instance_cap"]
     reps = max(int(config.get("val_reps", 1)), 1)
-    ev = jax.jit(make_eval_step(
-        model, spec, use_normals=bool(config.get("use_normal"))))
+    ev = _cached_eval_step(model, spec, bool(config.get("use_normal")))
     conf = np.zeros((20, 20), np.int64)
     per_rep = [dataset.val_batches(p_cap, i_cap, 1, val_rep=r)
                for r in range(reps)]
