@@ -94,11 +94,16 @@ def _sanitize_seg(instance_id, num):
 
 def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
                            ) -> jnp.ndarray:
-    """Mean CE over points with label >= 0 (torch ignore_index=-100)."""
+    """Mean CE over points with label >= 0 (torch ignore_index=-100).
+
+    The label pick is a one-hot masked sum, not take_along_axis — XLA's
+    per-row 4-byte gather ran at ~2.7 ms/step; the [P, C] compare+reduce
+    fuses into the log_softmax pass."""
     valid = labels >= 0
-    safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    onehot = labels[:, None] == jnp.arange(logits.shape[-1],
+                                           dtype=labels.dtype)[None, :]
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     nll = jnp.where(valid, nll, 0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1)
 
