@@ -157,3 +157,25 @@ def prepare_split(scan_dir: str, out_dir: str, workers: int = 0) -> List[str]:
             return pool.starmap(prepare_scene,
                                 [(f, out_dir) for f in files])
     return [prepare_scene(f, out_dir) for f in files]
+
+
+def main() -> None:
+    """CLI mirroring the reference `prepare_data.py`:
+    `python -m occuseg_tpu.data.prepare --scans <dir> --out <dir>`."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="ScanNet scans -> per-scene .npz training files")
+    p.add_argument("--scans", required=True,
+                   help="directory of scene dirs with *_vh_clean_2.ply")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--workers", type=int, default=0,
+                   help="multiprocessing pool size (reference uses Pool)")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    written = prepare_split(args.scans, args.out, workers=args.workers)
+    print(f"wrote {len(written)} scenes to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
