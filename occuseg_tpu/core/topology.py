@@ -53,6 +53,31 @@ def _even_offsets(kernel: int) -> np.ndarray:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class HaloExchange:
+    """Spatial-sharding exchange spec for ONE ref map (SURVEY §2.5 CP).
+
+    Present on a level/transition when the topology is a per-shard slice of
+    a spatially sharded plan (parallel/spatial_model.build_spatial_topology)
+    — the owning map's values then index the EXTENDED feature space
+    [local | left halo | right halo | all-gather pool] built by
+    `parallel.spatial.extend_features` from these send/publish lists.
+    The flax conv modules detect this field and extend features before the
+    gather — ONE module implementation serves the unsharded and the
+    spatially-sharded paths (VERDICT r2 #3).
+    """
+
+    send_left: jnp.ndarray    # [H] local rows shipped to shard d-1
+    send_right: jnp.ndarray   # [H] local rows shipped to shard d+1
+    publish: jnp.ndarray      # [P] local rows all-gathered into the pool
+    nbr_t: jnp.ndarray        # [ext, K] K-FLIPPED transpose of the owning
+                              # map (ops/conv.gather_conv nbr_t pairing)
+    halo: int = dataclasses.field(metadata=dict(static=True), default=0)
+    chunks_t: object = None   # ChunkPlan over the SAME-K transpose
+                              # (nbr_t[:, ::-1]) for chunk_gather_conv_t
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class LevelTopology:
     """Active-site set of one scale + its submanifold neighbor map."""
 
@@ -67,10 +92,13 @@ class LevelTopology:
     chunks: object = None       # optional ops.pallas.chunk_conv.ChunkPlan
                                 # (host-built chunk rulebook for the fused
                                 # Pallas conv kernel; None = XLA path)
+    halo_ex: HaloExchange = None  # set on per-shard slices of a spatially
+                                  # sharded plan; nbr then indexes the
+                                  # extended feature space
 
     @property
     def cap(self) -> int:
-        return self.keys.shape[0]
+        return self.nbr.shape[0]
 
 
 @jax.tree_util.register_dataclass
@@ -85,6 +113,8 @@ class LevelTransition:
     child_chunks: object = None  # optional ChunkPlan over `child` (fused
     up_chunks: object = None     # Pallas strided conv) and over `up`
                                  # (deconv); see ops/pallas/chunk_conv.py
+    child_ex: HaloExchange = None  # spatial sharding: exchange specs for
+    up_ex: HaloExchange = None     # the child / up maps (see HaloExchange)
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +126,10 @@ class Topology:
     transitions: Tuple[LevelTransition, ...]
     p2v: jnp.ndarray         # int32 [P_cap] point -> level-0 voxel row (-1 pad)
     num_points: jnp.ndarray  # int32 scalar
+    # set on per-shard slices of a spatially sharded plan: the shard_map
+    # mesh axis the halo/pool exchanges and BN/loss psums ride on
+    axis_name: str = dataclasses.field(metadata=dict(static=True),
+                                       default=None)
 
     def overflow(self) -> jnp.ndarray:
         """True if any level filled its cap (voxels were dropped) — the analog

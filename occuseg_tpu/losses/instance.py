@@ -43,6 +43,15 @@ class LossConfig:
     min_instance_points: int = 30
     num_classes: int = 20
     foreground_class_threshold: int = 2  # label > 1, skip wall/floor
+    # --loss selection (reference `train_instance.py:354-365`):
+    # cross_entropy | lovasz | focal | weighted_cross_entropy
+    semantic_loss: str = "cross_entropy"
+    # per-class CE weights for weighted_cross_entropy (tuple → hashable /
+    # static under jit; tables in losses/semantic.py). None = ScanNet table.
+    ce_weights: Tuple[float, ...] | None = None
+    # DriftLoss coefficient (reference `train_instance.py:240`, commented
+    # there with weight 50; off by default to match)
+    drift_weight: float = 0.0
 
 
 def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -51,39 +60,53 @@ def _safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
 
 
-def _seg_sum(x, seg, num):
+def _seg_sum(x, seg, num, axis_name=None):
     """Segment sum. TPU scatter-add (what jax.ops.segment_sum lowers to)
     serializes on duplicate indices; for the small segment counts here
     (instances/scenes) a one-hot [num, P] @ [P, C] product runs on the
-    MXU instead."""
+    MXU instead.
+
+    `axis_name`: the rows of x are sharded over that mesh axis (spatial
+    training) — partial sums are psum'd so the result is the global
+    segment sum, replicated."""
     if num <= 128:
         oh = (seg[None, :]
               == jnp.arange(num, dtype=seg.dtype)[:, None]).astype(
             jnp.float32)
         xf = x.astype(jnp.float32)
         if x.ndim == 1:
-            return jax.lax.dot_general(
+            out = jax.lax.dot_general(
                 oh, xf[:, None], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)[:, 0].astype(x.dtype)
-        return jax.lax.dot_general(
-            oh, xf, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
-    return jax.ops.segment_sum(x, seg, num_segments=num)
+                preferred_element_type=jnp.float32)[:, 0]
+        else:
+            out = jax.lax.dot_general(
+                oh, xf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        out = jax.ops.segment_sum(x.astype(jnp.float32), seg,
+                                  num_segments=num)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out.astype(x.dtype)
 
 
-def _seg_max(x, seg, num, fill):
+def _seg_max(x, seg, num, fill, axis_name=None):
     """Segment max via masked [P, num] reduction (scatter-free) for small
     num; `fill` is the empty-segment value."""
     if num <= 128:
         m = seg[:, None] == jnp.arange(num, dtype=seg.dtype)[None, :]
         vals = jnp.where(m, x[:, None], fill)
-        return jnp.max(vals, axis=0)
-    return jax.ops.segment_max(x, seg, num_segments=num)
+        out = jnp.max(vals, axis=0)
+    else:
+        out = jax.ops.segment_max(x, seg, num_segments=num)
+    if axis_name is not None:
+        out = jax.lax.pmax(out, axis_name)
+    return out
 
 
-def _seg_mean(x, seg, num):
-    s = _seg_sum(x, seg, num)
-    cnt = _seg_sum(jnp.ones(x.shape[:1], x.dtype), seg, num)
+def _seg_mean(x, seg, num, axis_name=None):
+    s = _seg_sum(x, seg, num, axis_name)
+    cnt = _seg_sum(jnp.ones(x.shape[:1], x.dtype), seg, num, axis_name)
     return s / jnp.maximum(cnt[..., None] if x.ndim > 1 else cnt, 1), cnt
 
 
@@ -92,32 +115,39 @@ def _sanitize_seg(instance_id, num):
     return jnp.where(instance_id >= 0, instance_id, num).astype(jnp.int32)
 
 
-def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray
-                           ) -> jnp.ndarray:
+def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           axis_name: str | None = None) -> jnp.ndarray:
     """Mean CE over points with label >= 0 (torch ignore_index=-100).
 
     The label pick is a one-hot masked sum, not take_along_axis — XLA's
     per-row 4-byte gather ran at ~2.7 ms/step; the [P, C] compare+reduce
-    fuses into the log_softmax pass."""
+    fuses into the log_softmax pass. `axis_name`: points sharded over that
+    mesh axis (spatial training) — sums psum'd."""
     valid = labels >= 0
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     onehot = labels[:, None] == jnp.arange(logits.shape[-1],
                                            dtype=labels.dtype)[None, :]
     nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
-    nll = jnp.where(valid, nll, 0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1)
+    num = jnp.sum(jnp.where(valid, nll, 0))
+    den = jnp.sum(valid.astype(jnp.float32))
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1)
 
 
 def _instance_stats(instance_id: jnp.ndarray, point_scene: jnp.ndarray,
-                    labels: jnp.ndarray, num_instances: int):
+                    labels: jnp.ndarray, num_instances: int,
+                    axis_name: str | None = None):
     """Per-instance scene id, point count, and (first) GT class."""
     seg = _sanitize_seg(instance_id, num_instances)
     ones = jnp.ones_like(seg, jnp.float32)
-    count = _seg_sum(jnp.where(instance_id >= 0, ones, 0), seg, num_instances + 1)[:num_instances]
+    count = _seg_sum(jnp.where(instance_id >= 0, ones, 0), seg,
+                     num_instances + 1, axis_name)[:num_instances]
     scene = _seg_max(jnp.where(instance_id >= 0, point_scene, -1), seg,
-                     num_instances + 1, -1)[:num_instances]
+                     num_instances + 1, -1, axis_name)[:num_instances]
     cls = _seg_max(jnp.where(instance_id >= 0, labels, -10000), seg,
-                   num_instances + 1, -10000)[:num_instances]
+                   num_instances + 1, -10000, axis_name)[:num_instances]
     exists = count > 0
     return scene, count, cls, exists
 
@@ -125,11 +155,14 @@ def _instance_stats(instance_id: jnp.ndarray, point_scene: jnp.ndarray,
 def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
                         point_scene: jnp.ndarray, num_scenes: int,
                         num_instances: int,
-                        cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+                        cfg: LossConfig = LossConfig(),
+                        axis_name: str | None = None) -> jnp.ndarray:
     e = embedding.astype(jnp.float32)
     I = num_instances
+    an = axis_name
     seg = _sanitize_seg(instance_id, I)
-    mu, cnt = _seg_mean(jnp.where((instance_id >= 0)[:, None], e, 0), seg, I + 1)
+    mu, cnt = _seg_mean(jnp.where((instance_id >= 0)[:, None], e, 0), seg,
+                        I + 1, an)
     mu, cnt = mu[:I], cnt[:I]
     exists = cnt > 0
     valid_pt = instance_id >= 0
@@ -138,15 +171,19 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
     dev = _safe_norm(e - mu[jnp.clip(seg, 0, I - 1)], axis=1)
     dev = jnp.maximum(dev - cfg.delta_v, 0.0) ** 2
     pscene = jnp.where(valid_pt, point_scene, num_scenes)
-    per_scene_sum = _seg_sum(jnp.where(valid_pt, dev, 0), pscene, num_scenes + 1)
-    per_scene_cnt = _seg_sum(valid_pt.astype(jnp.float32), pscene, num_scenes + 1)
+    per_scene_sum = _seg_sum(jnp.where(valid_pt, dev, 0), pscene,
+                             num_scenes + 1, an)
+    per_scene_cnt = _seg_sum(valid_pt.astype(jnp.float32), pscene,
+                             num_scenes + 1, an)
     scene_has = per_scene_cnt[:num_scenes] > 0
     l_v = jnp.sum(per_scene_sum[:num_scenes]
                   / jnp.maximum(per_scene_cnt[:num_scenes], 1))
 
-    # push (distance) term: same-scene centroid pairs
+    # push (distance) term: same-scene centroid pairs (mu/iscene are global
+    # after the psums above, so the [I, I] work below is replicated — no
+    # further cross-shard reduction)
     iscene = _seg_max(jnp.where(valid_pt, point_scene, -1), seg,
-                      I + 1, -1)[:I]
+                      I + 1, -1, an)[:I]
     d = _safe_norm(mu[:, None, :] - mu[None, :, :], axis=-1)
     same_scene = (iscene[:, None] == iscene[None, :])
     pair_ok = (same_scene & exists[:, None] & exists[None, :]
@@ -178,24 +215,27 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
                         instance_id: jnp.ndarray, point_scene: jnp.ndarray,
                         labels: jnp.ndarray, num_scenes: int,
                         num_instances: int,
-                        cfg: LossConfig = LossConfig()
+                        cfg: LossConfig = LossConfig(),
+                        axis_name: str | None = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Soft-membership BCE + instance IoU (reference
     `discriminative.py:40-117`, weight *10 applied here)."""
     I = num_instances
+    an = axis_name
     e = embedding.astype(jnp.float32)
     x = pose.astype(jnp.float32)
     rx = regressed_pose.astype(jnp.float32)
     seg = _sanitize_seg(instance_id, I)
     valid_pt = instance_id >= 0
 
-    mu, cnt = _seg_mean(jnp.where(valid_pt[:, None], e, 0), seg, I + 1)
-    mean_pose, _ = _seg_mean(jnp.where(valid_pt[:, None], x, 0), seg, I + 1)
+    mu, cnt = _seg_mean(jnp.where(valid_pt[:, None], e, 0), seg, I + 1, an)
+    mean_pose, _ = _seg_mean(jnp.where(valid_pt[:, None], x, 0), seg,
+                             I + 1, an)
     sig, _ = _seg_mean(jnp.where(valid_pt[:, None],
-                                 bw.astype(jnp.float32), 0), seg, I + 1)
+                                 bw.astype(jnp.float32), 0), seg, I + 1, an)
     mu, mean_pose, sig, cnt = mu[:I], mean_pose[:I], sig[:I], cnt[:I]
     scene_i, count_i, cls_i, exists = _instance_stats(
-        instance_id, point_scene, labels, I)
+        instance_id, point_scene, labels, I, an)
     use = exists & (count_i >= cfg.min_instance_points)
 
     # [P, I] squared distances via |a|^2 + |b|^2 - 2 a.b (MXU path)
@@ -214,7 +254,8 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     # instance radius = max spatial distance of its own points to its center
     own_d = jnp.take_along_axis(
         d_spat, jnp.clip(seg, 0, I - 1)[:, None], axis=1)[:, 0]
-    radius = _seg_max(jnp.where(valid_pt, own_d, 0), seg, I + 1, 0.0)[:I]
+    radius = _seg_max(jnp.where(valid_pt, own_d, 0), seg, I + 1, 0.0,
+                      an)[:I]
 
     same_scene = point_scene[:, None] == scene_i[None, :]
     sample = (d_spat < 4.0 * radius[None, :]) & same_scene & use[None, :]
@@ -231,8 +272,12 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     s = jnp.clip(s, 1.0000001e-7, 16.11809565095832)  # prob in [1e-7, 1-1e-7]
     bce = jnp.where(member, s, -jnp.log(-jnp.expm1(-s)))
     bce = jnp.where(sample, bce, 0)
-    n_samp = jnp.maximum(jnp.sum(sample, axis=0), 1)
-    per_inst = jnp.sum(bce, axis=0) / n_samp
+    n_samp = jnp.sum(sample, axis=0)
+    bce_sum = jnp.sum(bce, axis=0)
+    if an is not None:
+        n_samp = jax.lax.psum(n_samp, an)
+        bce_sum = jax.lax.psum(bce_sum, an)
+    per_inst = bce_sum / jnp.maximum(n_samp, 1)
     n_inst = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
     loss = jnp.sum(jnp.where(use, per_inst, 0)) / n_inst * cfg.classification_weight
 
@@ -241,6 +286,10 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     tp = jnp.sum((pred & gt), axis=0).astype(jnp.float32)
     fp = jnp.sum((pred & ~gt), axis=0).astype(jnp.float32)
     tot = jnp.sum(gt, axis=0).astype(jnp.float32)
+    if an is not None:
+        tp = jax.lax.psum(tp, an)
+        fp = jax.lax.psum(fp, an)
+        tot = jax.lax.psum(tot, an)
     iou = tp / jnp.maximum(tot + fp, 1.0)
     miou = jnp.sum(jnp.where(use, iou, 0)) / n_inst
     return loss, miou
@@ -249,20 +298,22 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
 def _cluster_losses(disp_err: jnp.ndarray, occ_err: jnp.ndarray,
                     occ: jnp.ndarray, instance_id: jnp.ndarray,
                     point_scene: jnp.ndarray, labels: jnp.ndarray,
-                    num_scenes: int, num_instances: int, cfg: LossConfig):
+                    num_scenes: int, num_instances: int, cfg: LossConfig,
+                    axis_name: str | None = None):
     """Displacement + occupancy cluster terms in one pass: per-instance mean
     errors (and the occ prediction std), restricted to GT class > 1,
     averaged over instances within a scene then over scenes
     (reference `train_instance.py:217-236`)."""
     I = num_instances
+    an = axis_name
     seg = _sanitize_seg(instance_id, I)
     valid_pt = instance_id >= 0
     scene_i, count_i, cls_i, exists = _instance_stats(
-        instance_id, point_scene, labels, I)
+        instance_id, point_scene, labels, I, an)
     fg = exists & (cls_i >= cfg.foreground_class_threshold)
 
     def inst_mean(v):
-        m, _ = _seg_mean(jnp.where(valid_pt, v, 0)[:, None], seg, I + 1)
+        m, _ = _seg_mean(jnp.where(valid_pt, v, 0)[:, None], seg, I + 1, an)
         return m[:I, 0]
 
     disp_mean = inst_mean(disp_err)
@@ -271,7 +322,8 @@ def _cluster_losses(disp_err: jnp.ndarray, occ_err: jnp.ndarray,
     # centered two-pass variance (E[x^2]-E[x]^2 cancels catastrophically);
     # unbiased, matching torch_scatter scatter_std default
     centered = occ[:, 0] - occ_mean[jnp.clip(seg, 0, I - 1)]
-    sq_sum = _seg_sum(jnp.where(valid_pt, centered * centered, 0), seg, I + 1)
+    sq_sum = _seg_sum(jnp.where(valid_pt, centered * centered, 0), seg,
+                      I + 1, an)
     n = jnp.maximum(count_i, 1.0)
     occ_std = jnp.sqrt(jnp.maximum(sq_sum[:I] / jnp.maximum(n - 1, 1), 0)
                        + 1e-12)
@@ -297,6 +349,7 @@ def _cluster_losses(disp_err: jnp.ndarray, occ_err: jnp.ndarray,
 def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
                        num_scenes: int, num_instances: int,
                        cfg: LossConfig = LossConfig(),
+                       axis_name: str | None = None,
                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Assemble the 6-term training loss (reference
     `train_instance.py:186-255`, combination at `:416`).
@@ -305,20 +358,29 @@ def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
       labels [P] int32, instance_id [P] int32, point_scene [P] int32,
       pose [P,3] f32 (coords/scale), offsets [P,1] f32, displacements [P,3]
       f32, occupancy [P,1] f32 (log instance size).
+
+    `axis_name` (spatial training): the point rows are SHARDED over that
+    mesh axis; every point-level reduction is psum'd so the returned loss
+    equals the unsharded loss on the union of rows, replicated per shard.
     """
     labels = batch["labels"]
     iid = batch["instance_id"]
     pscene = batch["point_scene"]
+    an = axis_name
     fg_pt = labels >= cfg.foreground_class_threshold
 
-    sem = semantic_cross_entropy(outputs.semantics, labels)
+    sem = _semantic_term(outputs.semantics, labels, cfg, an)
     emb = discriminative_loss(outputs.embedding, iid, pscene, num_scenes,
-                              num_instances, cfg)
+                              num_instances, cfg, an)
 
     # offset (centredness) regression: L1 over foreground points * 100
-    n_fg = jnp.maximum(jnp.sum(fg_pt.astype(jnp.float32)), 1.0)
+    n_fg = jnp.sum(fg_pt.astype(jnp.float32))
     off_l1 = jnp.abs(outputs.offset.astype(jnp.float32) - batch["offsets"])
-    regression = (jnp.sum(jnp.where(fg_pt[:, None], off_l1, 0)) / n_fg
+    off_sum = jnp.sum(jnp.where(fg_pt[:, None], off_l1, 0))
+    if an is not None:
+        n_fg = jax.lax.psum(n_fg, an)
+        off_sum = jax.lax.psum(off_sum, an)
+    regression = (off_sum / jnp.maximum(n_fg, 1.0)
                   / off_l1.shape[1] * cfg.regress_weight)
 
     disp_err = _safe_norm(
@@ -328,20 +390,52 @@ def occuseg_total_loss(outputs, batch: Dict[str, jnp.ndarray],
         outputs.occupancy.astype(jnp.float32) - batch["occupancy"], axis=1)
     displacement, occupancy = _cluster_losses(
         disp_err, occ_err, outputs.occupancy.astype(jnp.float32), iid,
-        pscene, labels, num_scenes, num_instances, cfg)
+        pscene, labels, num_scenes, num_instances, cfg, an)
 
     regressed_pose = batch["pose"] - outputs.displacement.astype(jnp.float32)
     classification, miou = classification_loss(
         outputs.embedding, outputs.bw, regressed_pose, batch["pose"], iid,
-        pscene, labels, num_scenes, num_instances, cfg)
+        pscene, labels, num_scenes, num_instances, cfg, an)
 
     total = sem + regression + emb + displacement + classification + occupancy
-    return total, {
+    parts = {
         "semantic_loss": sem, "embedding_loss": emb,
         "regression_loss": regression, "displacement_loss": displacement,
         "classification_loss": classification, "occupancy_loss": occupancy,
-        "instance_iou": miou, "total": total,
+        "instance_iou": miou,
     }
+    if cfg.drift_weight:
+        drift = drift_loss(outputs.embedding, regressed_pose, batch["pose"],
+                           outputs.offset, iid, labels, pscene, num_scenes,
+                           num_instances, cfg, an)
+        total = total + cfg.drift_weight * drift
+        parts["drift_loss"] = cfg.drift_weight * drift
+    parts["total"] = total
+    return total, parts
+
+
+def _semantic_term(logits: jnp.ndarray, labels: jnp.ndarray,
+                   cfg: LossConfig,
+                   axis_name: str | None = None) -> jnp.ndarray:
+    """--loss dispatch (reference `train_instance.py:354-365`)."""
+    kind = cfg.semantic_loss
+    if kind in ("cross_entropy", "nll"):
+        return semantic_cross_entropy(logits, labels, axis_name)
+    if axis_name is not None:
+        # lovasz needs a global sort; focal/weighted need psum'd means —
+        # none are wired for point-sharded rows yet
+        raise NotImplementedError(
+            f"--loss {kind!r} under spatial sharding (use cross_entropy)")
+    from occuseg_tpu.losses import semantic as sem_losses
+    if kind == "lovasz":
+        return sem_losses.lovasz_softmax(logits, labels)
+    if kind == "focal":
+        return sem_losses.focal_loss(logits, labels)
+    if kind in ("weighted", "weighted_cross_entropy"):
+        w = cfg.ce_weights or sem_losses.SCANNET_CE_WEIGHTS
+        return sem_losses.weighted_cross_entropy(
+            logits, labels, jnp.asarray(w, jnp.float32)[:logits.shape[-1]])
+    raise NotImplementedError(f"--loss {kind!r}")
 
 
 def drift_loss(embedding: jnp.ndarray, regressed_pose: jnp.ndarray,
@@ -349,7 +443,8 @@ def drift_loss(embedding: jnp.ndarray, regressed_pose: jnp.ndarray,
                instance_id: jnp.ndarray, labels: jnp.ndarray,
                point_scene: jnp.ndarray, num_scenes: int,
                num_instances: int,
-               cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+               cfg: LossConfig = LossConfig(),
+               axis_name: str | None = None) -> jnp.ndarray:
     """DriftLoss (reference `discriminative.py:7-36`; disabled by default at
     `train_instance.py:240` but part of the loss library): for foreground
     instances, L1 between offset-weighted embeddings/regressed poses and the
@@ -361,20 +456,22 @@ def drift_loss(embedding: jnp.ndarray, regressed_pose: jnp.ndarray,
     rp = regressed_pose.astype(jnp.float32)
     w = offset_pred.reshape(-1, 1).astype(jnp.float32)
 
+    an = axis_name
     mu_e, _ = _seg_mean(jnp.where((instance_id >= 0)[:, None], e, 0), seg,
-                        I + 1)
+                        I + 1, an)
     mu_p, _ = _seg_mean(jnp.where((instance_id >= 0)[:, None],
-                                  pose.astype(jnp.float32), 0), seg, I + 1)
+                                  pose.astype(jnp.float32), 0), seg,
+                        I + 1, an)
     scene_i, count_i, cls_i, exists = _instance_stats(
-        instance_id, point_scene, labels, I)
+        instance_id, point_scene, labels, I, an)
     fg = exists & (cls_i >= cfg.foreground_class_threshold)
 
     segc = jnp.clip(seg, 0, I - 1)
     err = (jnp.abs(e * w - mu_e[segc] * w).mean(axis=1)
            + jnp.abs(rp * w - mu_p[segc] * w).mean(axis=1))
     use = valid & fg[segc]
-    per_inst = _seg_sum(jnp.where(use, err, 0), seg, I + 1)[:I]
-    per_cnt = _seg_sum(use.astype(jnp.float32), seg, I + 1)[:I]
+    per_inst = _seg_sum(jnp.where(use, err, 0), seg, I + 1, an)[:I]
+    per_cnt = _seg_sum(use.astype(jnp.float32), seg, I + 1, an)[:I]
     per_inst = jnp.where(per_cnt > 0, per_inst / jnp.maximum(per_cnt, 1), 0)
     n_fg = jnp.maximum(jnp.sum((fg & (per_cnt > 0)).astype(jnp.float32)), 1)
     return jnp.sum(per_inst) / n_fg

@@ -13,6 +13,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Per-class CE weight tables for --loss weighted_cross_entropy (reference
+# `train_instance.py:358-361`, selected by config['dataset']).
+SCANNET_CE_WEIGHTS = (
+    0.3005, 0.2700, 0.0418, 0.0275, 0.0810, 0.0254, 0.0462, 0.0418,
+    0.0297, 0.0277, 0.0061, 0.0065, 0.0194, 0.0150, 0.0060, 0.0036,
+    0.0029, 0.0025, 0.0029, 0.0434)
+STANFORD_CE_WEIGHTS = (
+    0.1861, 0.1586, 0.2663, 0.0199, 0.0039, 0.0210, 0.0210, 0.0575,
+    0.0332, 0.0458, 0.0052, 0.0495, 0.0123, 0.1164, 0.0032)
+
 
 def lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
     """Gradient of the Lovasz extension w.r.t. sorted errors

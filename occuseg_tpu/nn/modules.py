@@ -31,6 +31,43 @@ def _chunk_supported(cap: int, cin: int, cout: int) -> bool:
     return supported(cap, cin, cout)
 
 
+def _sharded_conv(feats, map_arr, ex, w, b, chunks, axis_name):
+    """Convolution over a spatially sharded map (plan built by
+    parallel/spatial_model.build_spatial_topology; runs inside shard_map):
+    extend local features with halo/pool rows over ICI, then run the SAME
+    kernels as the unsharded path over the extended space — the fused
+    Pallas chunk kernels when the per-shard chunk rulebooks are attached
+    (VERDICT r2 #2), else the scatter-free XLA gather-conv with the
+    extended-space transpose map."""
+    import jax as _jax
+    from occuseg_tpu.parallel.spatial import extend_features
+
+    ext = extend_features(feats, ex.send_left, ex.send_right, ex.publish,
+                          ex.halo, axis_name)
+    cin, cout = feats.shape[1], w.shape[2]
+    if (chunks is not None and ex.chunks_t is not None
+            and _chunk_supported(map_arr.shape[0], cin, cout)):
+        from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
+        pad = (-cin) % 8
+        w_eff = w
+        if pad:
+            ext = jnp.pad(ext, ((0, 0), (0, pad)))
+            w_eff = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        out = chunk_gather_conv_t(
+            ext, chunks.in_idx, chunks.lidx,
+            ex.chunks_t.in_idx, ex.chunks_t.lidx, w_eff,
+            granule=chunks.granule, t_granule=ex.chunks_t.granule)
+    else:
+        from occuseg_tpu.ops import conv as conv_ops
+        # custom_vjp blocks shard_map's replication inference — lift the
+        # replicated weights to varying so the weight cotangent psums
+        w_v = _jax.lax.pcast(w, axis_name, to="varying")
+        out = conv_ops.gather_conv(ext, map_arr, w_v, None, nbr_t=ex.nbr_t)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def _he_conv_init(volume: int):
     def init(key, shape, dtype=jnp.float32):
         cin = shape[1]
@@ -68,7 +105,10 @@ class SubmanifoldConvolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        if self.normal_guided:
+        if lvl.halo_ex is not None:
+            out = _sharded_conv(x.features, nbr, lvl.halo_ex, w, b,
+                                lvl.chunks, plan.axis_name)
+        elif self.normal_guided:
             from occuseg_tpu.ops.normal_guide import normal_guided_conv
             out = normal_guided_conv(x.features, nbr, lvl.orient, w, b)
         elif lvl.chunks is not None and _chunk_supported(
@@ -116,7 +156,10 @@ class Convolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        if tr.child_chunks is not None and _chunk_supported(
+        if tr.child_ex is not None:
+            out = _sharded_conv(x.features, tr.child, tr.child_ex, w, b,
+                                tr.child_chunks, plan.axis_name)
+        elif tr.child_chunks is not None and _chunk_supported(
                 tr.child.shape[0], x.num_channels, self.out_features):
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
             out = chunk_gather_conv_t(
@@ -156,7 +199,10 @@ class Deconvolution(nn.Module):
                        self.param_dtype)
         b = (self.param("bias", nn.initializers.zeros, (self.out_features,),
                         self.param_dtype) if self.use_bias else None)
-        if tr.up_chunks is not None and _chunk_supported(
+        if tr.up_ex is not None:
+            out = _sharded_conv(x.features, tr.up, tr.up_ex, w, b,
+                                tr.up_chunks, plan.axis_name)
+        elif tr.up_chunks is not None and _chunk_supported(
                 tr.up.shape[0], x.num_channels, self.out_features):
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv_t
             out = chunk_gather_conv_t(
@@ -263,7 +309,9 @@ class BatchNormalization(nn.Module):
         out, new_state = norm_ops.batch_norm(
             x.features, x.num_active, scale, bias, state,
             eps=self.eps, momentum=self.momentum, leakiness=self.leakiness,
-            training=train)
+            training=train,
+            # spatial sharding: psum batch stats over the mesh axis
+            axis_name=getattr(plan, "axis_name", None))
         if train and not self.is_initializing():
             ra_mean.value = new_state.running_mean
             ra_var.value = new_state.running_var

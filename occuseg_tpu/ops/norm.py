@@ -41,15 +41,28 @@ def batch_norm(feats: jnp.ndarray,
                eps: float = 1e-4,
                momentum: float = 0.9,
                leakiness: float = 1.0,
-               training: bool = True) -> Tuple[jnp.ndarray, BNState]:
-    """Fused masked BN + leaky activation. Returns (out, new_state)."""
+               training: bool = True,
+               axis_name: str | None = None) -> Tuple[jnp.ndarray, BNState]:
+    """Fused masked BN + leaky activation. Returns (out, new_state).
+
+    `axis_name` (spatial sharding, inside shard_map): batch statistics are
+    psum'd over the mesh axis so every shard normalizes with the GLOBAL
+    statistics — identical math to the unsharded call on the union of
+    rows, just a distributed summation order."""
     f = feats.astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (feats.shape[0], 1), 0)[:, 0]
     mask = (rows < num_active)[:, None]
-    n = jnp.maximum(num_active.astype(jnp.float32), 1.0)
+    n = num_active.astype(jnp.float32)
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+    n = jnp.maximum(n, 1.0)
     if training:
-        mean = jnp.sum(jnp.where(mask, f, 0), axis=0) / n
+        sum_f = jnp.sum(jnp.where(mask, f, 0), axis=0)
         sumsq = jnp.sum(jnp.where(mask, f * f, 0), axis=0)
+        if axis_name is not None:
+            sum_f = jax.lax.psum(sum_f, axis_name)
+            sumsq = jax.lax.psum(sumsq, axis_name)
+        mean = sum_f / n
         var_b = sumsq / n - mean * mean                  # biased
         var_u = (sumsq - mean * mean * n) / jnp.maximum(n - 1.0, 1.0)
         inv_std = jax.lax.rsqrt(var_b + eps)

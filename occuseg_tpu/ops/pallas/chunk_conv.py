@@ -81,6 +81,31 @@ def _interpret_default() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
+def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """ShapeDtypeStruct carrying `like`'s varying-mesh-axes set — under
+    shard_map (DP / spatial training) pallas_call outputs must declare
+    their vma or the check_vma typecheck rejects the call."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _match_vma(*arrays):
+    """Lift every operand to the union of the operands' varying-mesh-axes
+    (jax.lax.pvary) — under shard_map the plan/feature inputs vary over the
+    mesh axis while the weights are replicated, and pallas_call requires
+    one consistent vma across its inputs. No-op outside shard_map."""
+    vmas = [getattr(jax.typeof(a), "vma", None) or frozenset()
+            for a in arrays]
+    target = frozenset().union(*vmas)
+    if not target:
+        return arrays
+    return tuple(
+        jax.lax.pvary(a, tuple(sorted(target - v))) if target - v else a
+        for a, v in zip(arrays, vmas))
+
+
 def _co_block(cout: int) -> int:
     """Mosaic block dims must divide the array dim AND be lane-aligned
     (multiple of 128) or equal the full dim — so 128 when it divides,
@@ -222,13 +247,26 @@ def _make_bwd_fused_kernel(n_c: int, cin: int):
 
 
 def _bwd_fused_eligible(K, M, Ct_in, cin, cout, esize) -> bool:
-    """One k-group, one cout block, and the whole working set in VMEM.
-    Ct_in is the staged (gathered-ct) channel count = fwd Cout."""
-    co_blk = _co_block(cin)  # d_feats output channels = fwd Cin
-    if _k_grouping(K, M, Ct_in, co_blk, esize, esize) != K:
-        return False
-    if cin % co_blk != 0 or cin // co_blk != 1:
-        return False
+    """Whole working set in VMEM. Ct_in is the staged (gathered-ct)
+    channel count = fwd Cout; cin = d_feats output channels = fwd Cin.
+
+    The fused kernel runs grid (C,) with FULL-array blocks (no k-group /
+    cout-block splitting), and every block's minor dims equal the array
+    dims, which Mosaic accepts for any channel count — so eligibility is
+    purely a VMEM budget: staged-Gct scratch + (double-buffered) W' +
+    the f32 dW accumulator + the per-chunk feats/d_feats blocks.
+    (Round-2 additionally required cin to be a single 128-lane block —
+    needlessly excluding the 2m->m decoder convs (cin=256) and the wide
+    deconvolutions, which then paid a second full one-hot pass in the
+    separate-dW fallback. OCC_FUSED_BWD_RELAX=0 restores the round-2
+    rule for A/B measurements.)"""
+    import os
+    if os.environ.get("OCC_FUSED_BWD_RELAX", "1") == "0":
+        co_blk = _co_block(cin)
+        if _k_grouping(K, M, Ct_in, co_blk, esize, esize) != K:
+            return False
+        if cin % co_blk != 0 or cin // co_blk != 1:
+            return False
     scratch = M * K * Ct_in * esize
     wt = 2 * K * Ct_in * cin * esize
     dw = cin * K * Ct_in * 4
@@ -245,6 +283,8 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     r = _lane_pack(Ct, U)
     gct = gct.reshape(C, U // r, r * Ct)
     nz = _chunk_nonempty(t_lidx, C, 1, K, M)
+    nz, t_lidx, gct, w_t, feats_c = _match_vma(nz, t_lidx, gct, w_t,
+                                               feats_c)
     d_feats, dw_t = pl.pallas_call(
         _make_bwd_fused_kernel(C, Ct),
         grid=(C,),
@@ -267,8 +307,8 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((C, M, out_cin), feats_c.dtype),
-            jax.ShapeDtypeStruct((out_cin, K * Ct), jnp.float32),
+            _sds((C, M, out_cin), feats_c.dtype, gct),
+            _sds((out_cin, K * Ct), jnp.float32, gct),
         ),
         scratch_shapes=[pltpu.VMEM((M, K * Ct), gct.dtype)],
         interpret=interpret,
@@ -317,6 +357,7 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, n_kg, G, M)
+    nz, lidx, gin, w_flat = _match_vma(nz, lidx, gin, w_flat)
     return pl.pallas_call(
         _make_fwd_kernel(n_kg, n_co, Cin),
         grid=(C, n_co, n_kg),
@@ -333,7 +374,7 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
         ],
         out_specs=pl.BlockSpec((1, M, co_blk), lambda c, co, kg: (c, 0, co),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, M, Cout), out_dtype),
+        out_shape=_sds((C, M, Cout), out_dtype, gin),
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype),
                         pltpu.VMEM((M, co_blk), jnp.float32)],
         interpret=interpret,
@@ -350,6 +391,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, K // G, G, M)
+    nz, lidx, gin, ct_c = _match_vma(nz, lidx, gin, ct_c)
     return pl.pallas_call(
         _make_dw_kernel(C, Cin),
         grid=(K // G, Cout // co_blk, C),
@@ -366,7 +408,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
         out_specs=pl.BlockSpec((G * Cin, co_blk),
                                lambda kg, co, c: (kg, co),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K * Cin, Cout), jnp.float32),
+        out_shape=_sds((K * Cin, Cout), jnp.float32, gin),
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype)],
         interpret=interpret,
     )(nz, lidx, gin, ct_c)
@@ -478,6 +520,29 @@ def _make_sub_conv(granule: int):
     return f
 
 
+def _under_shard_map(*arrays) -> bool:
+    return any(getattr(jax.typeof(a), "vma", None) for a in arrays)
+
+
+def _dechunked_conv(feats, in_idx, lidx, weight, granule=1):
+    """Pure-XLA evaluation of a chunk plan (same math as the kernel),
+    differentiable by plain autodiff. Used on CPU inside shard_map, where
+    jax's pallas HLO interpreter cannot type-check its internal block
+    slicing under check_vma (TEST-ONLY path: CPU runs are interpret-mode
+    by definition; on TPU the real kernels lower fine)."""
+    C, K, M = lidx.shape
+    _, Cin, Cout = weight.shape
+    gin = _stage(feats, in_idx, granule)                   # [C, U, Cin]
+    safe = jnp.maximum(lidx, 0)                            # [C, K, M]
+    gin_b = jnp.broadcast_to(gin[:, None],
+                             (C, K) + gin.shape[1:])
+    g = jnp.take_along_axis(gin_b, safe[..., None], axis=2)
+    g = jnp.where((lidx >= 0)[..., None], g, 0)
+    out = jnp.einsum("ckmi,kio->cmo", g.astype(jnp.float32),
+                     weight.astype(jnp.float32))
+    return out.reshape(C * M, Cout).astype(feats.dtype)
+
+
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
                       lidx: jnp.ndarray, weight: jnp.ndarray,
                       granule: int = 1) -> jnp.ndarray:
@@ -487,6 +552,9 @@ def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
 
     feats [N, Cin] with N == C*M; weight [K, Cin, Cout]. Returns [N, Cout].
     """
+    if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
+                                                 weight):
+        return _dechunked_conv(feats, in_idx, lidx, weight, granule)
     return _make_sub_conv(granule)(feats, in_idx, lidx, weight)
 
 
@@ -559,6 +627,9 @@ def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
     fwd_table[r,k] == i  <=>  t_table[i,k] == r (the child/up identity), so
     d_feats[i] = sum_k ct[t_table[i,k]] @ W[k]^T with NO offset reversal.
     """
+    if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
+                                                 weight):
+        return _dechunked_conv(feats, in_idx, lidx, weight, granule)
     return _make_t_conv(granule, t_granule)(feats, in_idx, lidx, t_in_idx,
                                             t_lidx, weight)
 

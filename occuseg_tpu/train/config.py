@@ -51,6 +51,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_path", default="")
     p.add_argument("--test_result_path", default="")
     p.add_argument("--use_feature", default="c")
+    p.add_argument("--drift_weight", type=float, default=0.0,
+                   help="DriftLoss coefficient (reference uses 50 when "
+                        "enabled, train_instance.py:240; 0 = off, the "
+                        "reference default)")
     # --- TPU-build additions ---
     p.add_argument("--data_dir", default="data/scannet")
     p.add_argument("--point_cap", type=int, default=262144,
@@ -68,6 +72,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="gradient accumulation: N single-scene steps per "
                         "optimizer update (the TPU-native equivalent of "
                         "the reference's batch N)")
+    p.add_argument("--plan_workers", type=int, default=0,
+                   help=">1 builds host plans in a fork-based process pool "
+                        "(the analog of the reference's DataLoader "
+                        "num_workers=10); 0/1 = single prefetch thread")
     p.add_argument("--num_buckets", type=int, default=1,
                    help=">1 enables bucketed static shapes (one jitted "
                         "step per cap bucket; cuts padding waste)")
@@ -97,11 +105,13 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
               "instance_cap", "num_devices", "num_buckets", "accum_steps",
               "spatial_shards", "spatial_halo", "spatial_pool", "load",
-              "chunk_conv"):
+              "chunk_conv", "drift_weight", "plan_workers"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]
-    config["class_num"] = 20
+    # 20 ScanNet classes / 14 Stanford3D (reference
+    # `evaluate_instance.py:1332-1337`)
+    config["class_num"] = 14 if args.dataset == "stanford3d" else 20
     # input channels from feature string (config.py:116-126)
     n = 0
     f = config["use_feature"]

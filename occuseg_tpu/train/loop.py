@@ -254,7 +254,18 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         optimizer=config.get("optim", "Adam").lower(),
         accum_steps=int(config.get("accum_steps", 1)),
     )
-    lcfg = LossConfig(regress_weight=config.get("regress_weight", 100.0))
+    from occuseg_tpu.losses.semantic import (
+        SCANNET_CE_WEIGHTS,
+        STANFORD_CE_WEIGHTS,
+    )
+    lcfg = LossConfig(
+        regress_weight=config.get("regress_weight", 100.0),
+        num_classes=config.get("class_num", 20),
+        semantic_loss=config.get("loss", "cross_entropy"),
+        ce_weights=(STANFORD_CE_WEIGHTS
+                    if config.get("dataset") == "stanford3d"
+                    else SCANNET_CE_WEIGHTS),
+        drift_weight=float(config.get("drift_weight", 0.0)))
 
     sample = next(iter(dataset.train_batches(rng, p_cap, i_cap,
                                              batch_per_dev)))
@@ -357,6 +368,20 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     except Exception:
         pass
 
+    # multi-process plan building (reference DataLoader num_workers analog);
+    # single-stream path only — DP groups and spatial shard-prep keep the
+    # thread prefetcher (their per-group packing is already overlapped)
+    plan_pool = None
+    n_workers = int(config.get("plan_workers", 0) or 0)
+    if n_workers > 1 and n_dev == 1 and n_spatial <= 1:
+        from occuseg_tpu.native.pool import PlanPool
+        plan_pool = PlanPool(
+            spec, n_workers,
+            chunks=bool(config.get("chunk_conv", True)),
+            u_bump=32 if batch_per_dev > 1 else 0,
+            use_normals=bool(config.get("use_normal")),
+            bucket_specs_list=buckets)
+
     step = 0
     try:
         for epoch in range(start_epoch, int(config.get("max_epoch", 1))):
@@ -376,6 +401,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     bucket_specs_list=buckets,
                     chunks=bool(config.get("chunk_conv", True)),
                     u_bump=32 if batch_per_dev > 1 else 0)
+            elif plan_pool is not None:
+                source = plan_pool.imap(batches)
             else:
                 spatial = (dict(shards=n_spatial,
                                 halo=int(config.get("spatial_halo", 4096)),
@@ -484,6 +511,9 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         ckpt.save_checkpoint(os.path.join(ckpt_dir, "INTERRUPTED"),
                              jax.device_get(state), step=step)
         raise
+    finally:
+        if plan_pool is not None:
+            plan_pool.close()
     return {"state": state, "model": model, "spec": spec, "steps": step}
 
 
@@ -511,7 +541,10 @@ def evaluate_semantic(config: Dict, state, model, spec,
     i_cap = config["instance_cap"]
     reps = max(int(config.get("val_reps", 1)), 1)
     ev = _cached_eval_step(model, spec, bool(config.get("use_normal")))
-    conf = np.zeros((20, 20), np.int64)
+    # class count follows the dataset (20 ScanNet / 14 Stanford3D —
+    # reference `evaluate_instance.py:1332-1337`), not a hardcoded 20
+    ncls = int(config.get("class_num", 20))
+    conf = np.zeros((ncls, ncls), np.int64)
     per_rep = [dataset.val_batches(p_cap, i_cap, 1, val_rep=r)
                for r in range(reps)]
     for raws in zip(*per_rep):
@@ -526,5 +559,6 @@ def evaluate_semantic(config: Dict, state, model, spec,
             gt = np.asarray(batch["labels"])
         pred = np.argmax(store, axis=-1)
         conf += np.asarray(confusion_matrix(jnp.asarray(pred),
-                                            jnp.asarray(gt)))
+                                            jnp.asarray(gt),
+                                            num_classes=ncls))
     return iou_from_confusion(conf)

@@ -3,9 +3,26 @@
 `examples/ScanNet/evaluate_instance.py`): run the model on the val split,
 extract instances via supervoxel mean-shift (+ optional occupancy merge),
 filter proposals, report precision/recall at IoU 0.25 / 0.5.
+
+Two-stage workflow (reference parity: `train_instance.py:143-163` dumps
+per-scene .npz predictions, `evaluate_instance.py:1249-1316` clusters and
+scores them OFFLINE so clustering hyperparameters can be swept without
+re-running the net):
+
+  * default: inference + clustering inline;
+  * `--dump DIR`: inference only — write one .npz per scene with the
+    reference's offline_data schema (xyz, pred_embedding, pred_semantic,
+    pred_semantic_probability, pred_offsets, pred_displacements, pred_bw,
+    occupancy, regions, true_*, scale);
+  * `--from_dump DIR`: no model, no TPU — load the .npz files and run
+    clustering/merge/refine/metrics; `--bw_relax_factor`,
+    `--merge_threshold` etc. can be swept cheaply. Reproduces the inline
+    numbers exactly (both paths share `cluster_and_score`).
 """
 
+import glob
 import logging
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -24,24 +41,66 @@ from occuseg_tpu.cluster import (
 from occuseg_tpu.cluster.evaluator import gt_instances
 from occuseg_tpu.cluster.meanshift import labels_to_points
 from occuseg_tpu.train.config import args_to_config, get_parser
-from occuseg_tpu.train.loop import build_model, build_spec, get_dataset
-from occuseg_tpu.train.state import create_train_state, make_eval_step
 
 
-def main() -> None:
-    logging.basicConfig(level=logging.INFO)
-    parser = get_parser()
-    parser.add_argument("--use_merge", action="store_true", default=False)
-    parser.add_argument("--use_joint_refine", action="store_true",
-                        default=False,
-                        help="joint semantic-instance refinement "
-                             "(evaluate_instance.py:809-964): single-shot "
-                             "seeded membership + membership-weighted "
-                             "semantic re-vote")
-    parser.add_argument("--region_cap", type=int, default=4096)
-    args = parser.parse_args()
-    config = args_to_config(args)
-    config["use_dense_model"] = True
+def cluster_and_score(scene: dict, args) -> tuple:
+    """One scene's clustering: dump-schema dict -> (proposals, gts).
+
+    `scene` uses the reference offline_data keys (train_instance.py:143-163)
+    as numpy arrays over the scene's REAL points (no padding rows).
+    """
+    num_classes = int(scene["pred_semantic_probability"].shape[1])
+    pose = scene["xyz"].astype(np.float32) / float(scene["scale"])
+    region = jnp.asarray(scene["regions"].astype(np.int32))
+    sem_pred = jnp.asarray(scene["pred_semantic"].astype(np.int32))
+    regions = aggregate_regions(
+        jnp.asarray(scene["pred_embedding"]),
+        jnp.asarray(scene["pred_displacements"]),
+        jnp.asarray(pose),
+        jnp.asarray(scene["pred_bw"]),
+        jnp.asarray(scene["pred_offsets"].reshape(-1)),
+        sem_pred,
+        jnp.asarray(scene["occupancy"].reshape(-1)),
+        region, args.region_cap, num_classes=num_classes)
+    if args.use_joint_refine:
+        from occuseg_tpu.cluster import joint_refine
+
+        # per-region mean class probability from the dumped point probs
+        p = jnp.asarray(scene["pred_semantic_probability"], jnp.float32)
+        seg = jnp.where(region >= 0, region, args.region_cap)
+        num = jax.ops.segment_sum(p, seg, num_segments=args.region_cap + 1)
+        cnt = jax.ops.segment_sum(jnp.ones(p.shape[:1], jnp.float32), seg,
+                                  num_segments=args.region_cap + 1)
+        sem_prob = (num / jnp.maximum(cnt[:, None], 1))[:args.region_cap]
+        labels, sem_ref, _ = joint_refine(regions, sem_prob)
+        sem_pred = labels_to_points(sem_ref, region)
+    else:
+        labels, _ = meanshift_cluster(
+            regions, bw_relax_factor=args.bw_relax_factor)
+    labels_np = np.asarray(labels)
+    if args.use_merge:
+        labels_np = occupancy_merge(
+            labels_np, np.asarray(regions.embedding),
+            np.asarray(regions.pose_embedding), np.asarray(regions.bw),
+            np.asarray(regions.count), np.asarray(regions.occupancy),
+            bw_relax_factor=args.bw_relax_factor,
+            similarity_threshold=args.merge_threshold)
+    pts = np.asarray(labels_to_points(jnp.asarray(labels_np), region))
+    props = filter_proposals(pts, np.asarray(sem_pred),
+                             np.asarray(scene["occupancy"]),
+                             occupancy_lo=args.occupancy_lo,
+                             occupancy_hi=args.occupancy_hi,
+                             num_classes=num_classes)
+    gts = gt_instances(scene["true_instance"].astype(np.int64),
+                       scene["true_semantic"].astype(np.int64),
+                       num_classes=num_classes)
+    return props, gts
+
+
+def infer_scenes(config, args):
+    """Yield (scene_name, dump-schema dict) for each val scene."""
+    from occuseg_tpu.train.loop import build_model, build_spec, get_dataset
+    from occuseg_tpu.train.state import create_train_state, make_eval_step
 
     model = build_model(config)
     spec = build_spec(config)
@@ -49,10 +108,10 @@ def main() -> None:
     p_cap, i_cap = config["point_cap"], config["instance_cap"]
 
     sample = next(iter(dataset.val_batches(p_cap, i_cap, 1)))
-    sample_j = {k: jnp.asarray(v) for k, v in sample.items() if k != "region"}
+    sample_j = {k: jnp.asarray(v) for k, v in sample.items()
+                if k != "region"}
     state = create_train_state(model, jax.random.PRNGKey(0), sample_j, spec)
     if config.get("load"):
-        import os
         from occuseg_tpu.train.checkpoint import (
             latest_checkpoint,
             restore_checkpoint,
@@ -64,40 +123,42 @@ def main() -> None:
         logging.info("restored %s", path)
 
     ev = jax.jit(make_eval_step(model, spec))
-    all_props, all_gts = [], []
-    for raw in dataset.val_batches(p_cap, i_cap, 1):
+    for i, raw in enumerate(dataset.val_batches(p_cap, i_cap, 1)):
         batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "region"}
         out = ev(state, batch)
-        valid = np.asarray(raw["labels"]) >= -1
-        region = jnp.asarray(raw.get(
+        valid = np.asarray(raw["coords"])[:, 0] >= 0
+        region = np.asarray(raw.get(
             "region", np.arange(p_cap, dtype=np.int32) // 16))
-        sem_pred = jnp.argmax(out.semantics, axis=-1)
-        regions = aggregate_regions(
-            out.embedding, out.displacement, jnp.asarray(raw["pose"]),
-            out.bw, out.offset[:, 0], sem_pred, out.occupancy[:, 0],
-            region, args.region_cap)
-        if args.use_joint_refine:
-            from occuseg_tpu.cluster import (
-                joint_refine,
-                region_semantic_probability,
-            )
-            sem_prob = region_semantic_probability(
-                out.semantics, region, args.region_cap)
-            labels, sem_ref, _ = joint_refine(regions, sem_prob)
-            sem_pred = labels_to_points(sem_ref, region)
-        else:
-            labels, _ = meanshift_cluster(regions)
-        labels_np = np.asarray(labels)
-        if args.use_merge:
-            labels_np = occupancy_merge(
-                labels_np, np.asarray(regions.embedding),
-                np.asarray(regions.pose_embedding), np.asarray(regions.bw),
-                np.asarray(regions.count), np.asarray(regions.occupancy))
-        pts = np.asarray(labels_to_points(jnp.asarray(labels_np), region))
-        props = filter_proposals(pts, np.asarray(sem_pred),
-                                 np.asarray(out.occupancy))
-        gts = gt_instances(np.asarray(raw["instance_id"]),
-                           np.asarray(raw["labels"]))
+        probs = np.asarray(jax.nn.softmax(
+            out.semantics.astype(jnp.float32), axis=-1))
+        scale = float(config.get("scale", 20))
+        # reference offline_data schema (train_instance.py:143-163)
+        scene = {
+            "xyz": np.asarray(raw["pose"], np.float32)[valid] * scale,
+            "feature": np.asarray(raw["features"])[valid],
+            "occupancy": np.asarray(out.occupancy)[valid, 0],
+            "true_occupancy": np.asarray(raw["occupancy"])[valid, 0],
+            "pred_semantic": np.asarray(
+                jnp.argmax(out.semantics, axis=-1))[valid],
+            "pred_semantic_probability": probs[valid],
+            "pred_embedding": np.asarray(out.embedding)[valid],
+            "regions": region[valid],
+            "true_semantic": np.asarray(raw["labels"])[valid],
+            "true_instance": np.asarray(raw["instance_id"])[valid],
+            "pred_offsets": np.asarray(out.offset)[valid],
+            "true_offsets": np.asarray(raw["offsets"])[valid],
+            "pred_displacements": np.asarray(out.displacement)[valid],
+            "true_displacements": np.asarray(raw["displacements"])[valid],
+            "pred_bw": np.asarray(out.bw)[valid],
+            "scale": scale,
+        }
+        yield f"scene{i:04d}", scene
+
+
+def score_scenes(scenes, args) -> dict:
+    all_props, all_gts = [], []
+    for name, scene in scenes:
+        props, gts = cluster_and_score(scene, args)
         all_props.append(props)
         all_gts.append(gts)
 
@@ -118,6 +179,51 @@ def main() -> None:
                                         iou_threshold=thr)
         logging.info("AP@%.2f: %.4f (benchmark protocol)", thr, ap["mAP"])
         stats[f"ap_{int(thr*100)}"] = ap["ap_per_class"]
+    return stats
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    parser = get_parser()
+    parser.add_argument("--use_merge", action="store_true", default=False)
+    parser.add_argument("--use_joint_refine", action="store_true",
+                        default=False,
+                        help="joint semantic-instance refinement "
+                             "(evaluate_instance.py:809-964): single-shot "
+                             "seeded membership + membership-weighted "
+                             "semantic re-vote")
+    parser.add_argument("--region_cap", type=int, default=4096)
+    parser.add_argument("--dump", default="",
+                        help="write per-scene prediction .npz to this dir "
+                             "and exit (no clustering)")
+    parser.add_argument("--from_dump", default="",
+                        help="cluster + score .npz predictions from this "
+                             "dir (no model / TPU needed)")
+    parser.add_argument("--bw_relax_factor", type=float, default=1.0)
+    parser.add_argument("--merge_threshold", type=float, default=0.5)
+    parser.add_argument("--occupancy_lo", type=float, default=0.3)
+    parser.add_argument("--occupancy_hi", type=float, default=3.0)
+    args = parser.parse_args()
+    config = args_to_config(args)
+    config["use_dense_model"] = True
+
+    if args.from_dump:
+        files = sorted(glob.glob(os.path.join(args.from_dump, "*.npz")))
+        if not files:
+            raise SystemExit(f"no .npz files under {args.from_dump}")
+        logging.info("offline clustering over %d dumped scenes", len(files))
+        scenes = ((os.path.basename(f),
+                   dict(np.load(f, allow_pickle=False))) for f in files)
+        stats = score_scenes(scenes, args)
+    elif args.dump:
+        os.makedirs(args.dump, exist_ok=True)
+        for name, scene in infer_scenes(config, args):
+            fn = os.path.join(args.dump, f"{name}.npz")
+            np.savez(fn, **scene)
+            logging.info("save: %s", fn)
+        return
+    else:
+        stats = score_scenes(infer_scenes(config, args), args)
 
     # instance statistics export (reference writes instance_stat.mat,
     # evaluate_instance.py:1548-1552, :1699)

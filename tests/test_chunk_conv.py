@@ -165,6 +165,37 @@ def test_k_grouping_and_cout_blocking_paths(monkeypatch):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_fused_bwd_multiblock_cin_matches_xla():
+    """cin=256 (two 128-lane blocks) now takes the FUSED backward (round-3
+    eligibility relaxation — the kernel's full-array blocks never needed
+    the single-co-block rule); gradients must still match the XLA path."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(31)
+    cin, cout = 256, 32
+    assert cc._bwd_fused_eligible(K, M, cout, cin, cout, 4)
+    feats = jnp.asarray(rng.standard_normal((CAP, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, cin, cout)) * 0.05, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((CAP, cout)), jnp.float32)
+
+    def loss_ref(f, ww):
+        return jnp.sum((gather_conv(f, jnp.asarray(nbr), ww) - tgt) ** 2)
+
+    def loss_chunk(f, ww):
+        o = chunk_gather_conv(f, jnp.asarray(in_idx), jnp.asarray(lidx), ww)
+        return jnp.sum((o - tgt) ** 2)
+
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gf_c, gw_c = jax.grad(loss_chunk, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_transition_chunk_conv_matches_xla():
     """General-form chunk conv (explicit transpose plan): strided conv
     (child) and deconv (up) match the XLA path incl. gradients."""
@@ -253,6 +284,48 @@ def test_full_model_with_fully_chunked_plan():
     out_chunk = model.apply(variables, feats, aug_j, False)
     np.testing.assert_allclose(np.asarray(out_chunk.semantics),
                                np.asarray(out_ref.semantics),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunk_conv_inside_shard_map():
+    """DP-style shard_map over stacked chunk plans: the pallas_call must
+    type-check under check_vma (weights replicated, plans varying) and the
+    gradients must match the single-device result (the round-3 regression
+    seen in the training CLI on the virtual mesh)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(17)
+    D = 2
+    feats = jnp.asarray(rng.standard_normal((D, CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    ii = jnp.broadcast_to(jnp.asarray(in_idx), (D,) + in_idx.shape)
+    ll = jnp.broadcast_to(jnp.asarray(lidx), (D,) + lidx.shape)
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("data",))
+
+    def shard_fn(f, ii, ll, w):
+        out = chunk_gather_conv(f[0], ii[0], ll[0], w)
+        return jnp.sum(out ** 2)[None]
+
+    def loss(w):
+        per = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P()),
+            out_specs=P("data"))(feats, ii, ll, w)
+        return jnp.sum(per)
+
+    total, gw = jax.value_and_grad(loss)(w)
+
+    def loss_ref(w):
+        return sum(jnp.sum(chunk_gather_conv(
+            feats[d], jnp.asarray(in_idx), jnp.asarray(lidx), w) ** 2)
+            for d in range(D))
+
+    t_ref, gw_ref = jax.value_and_grad(loss_ref)(w)
+    np.testing.assert_allclose(float(total), float(t_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                rtol=1e-4, atol=1e-4)
 
 

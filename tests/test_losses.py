@@ -116,6 +116,96 @@ def test_total_loss_and_gradients():
     assert np.all(np.asarray(g)[350:] == 0)
 
 
+def test_loss_flag_selects_semantic_term():
+    """--loss lovasz/focal/weighted changes the semantic term (values
+    differ from CE) and gradients stay finite (VERDICT r2 #5; reference
+    `train_instance.py:354-365`)."""
+    rng, batch, iid, scene = _batch(11)
+    out = _outputs(rng)
+    base, _ = occuseg_total_loss(out, batch, S, I)
+    vals = {}
+    for kind in ("cross_entropy", "lovasz", "focal",
+                 "weighted_cross_entropy"):
+        cfg = LossConfig(semantic_loss=kind)
+        total, parts = occuseg_total_loss(out, batch, S, I, cfg)
+        vals[kind] = float(parts["semantic_loss"])
+        assert np.isfinite(vals[kind]), kind
+
+        def f(logits):
+            o = out._replace(semantics=logits)
+            t, _ = occuseg_total_loss(o, batch, S, I, cfg)
+            return t
+
+        g = jax.grad(f)(out.semantics)
+        assert np.isfinite(np.asarray(g)).all(), kind
+        assert float(jnp.abs(g).sum()) > 0, kind
+    ce = vals.pop("cross_entropy")
+    for kind, v in vals.items():
+        assert abs(v - ce) > 1e-6, f"{kind} identical to CE"
+
+
+def test_drift_weight_adds_term():
+    """drift_weight > 0 adds a finite drift term to the total (reference
+    `train_instance.py:240`, DriftLoss coefficient 50)."""
+    rng, batch, iid, scene = _batch(12)
+    out = _outputs(rng)
+    t0, p0 = occuseg_total_loss(out, batch, S, I)
+    assert "drift_loss" not in p0
+    cfg = LossConfig(drift_weight=50.0)
+    t1, p1 = occuseg_total_loss(out, batch, S, I, cfg)
+    assert "drift_loss" in p1 and np.isfinite(float(p1["drift_loss"]))
+    np.testing.assert_allclose(float(t1),
+                               float(t0) + float(p1["drift_loss"]),
+                               rtol=1e-5)
+
+    def f(emb):
+        o = out._replace(embedding=emb)
+        t, _ = occuseg_total_loss(o, batch, S, I, cfg)
+        return t
+
+    g = jax.grad(f)(out.embedding)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_total_loss_point_sharded_matches_unsharded():
+    """With points sharded over a mesh axis and axis_name set, every loss
+    term (and its gradient path) must equal the unsharded computation —
+    the spatial-training loss contract (VERDICT r2 #2: shard the losses)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as Pspec
+    import numpy as np
+
+    rng, batch, iid, scene = _batch(21)
+    out = _outputs(rng)
+    t_ref, p_ref = occuseg_total_loss(out, batch, S, I)
+
+    D = 4
+    perm = np.random.default_rng(0).permutation(P)
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("space",))
+    shard = lambda a: jnp.asarray(np.asarray(a)[perm]).reshape(
+        (D, P // D) + a.shape[1:])
+    out_sh = jax.tree.map(shard, out)
+    batch_sh = {k: shard(v) for k, v in batch.items()}
+
+    def shard_fn(o_sh, b_sh):
+        o = jax.tree.map(lambda a: a[0], o_sh)
+        b = {k: v[0] for k, v in b_sh.items()}
+        return occuseg_total_loss(o, b, S, I, LossConfig(),
+                                  axis_name="space")
+
+    t, parts = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: Pspec("space"), out_sh),
+                  {k: Pspec("space") for k in batch_sh}),
+        out_specs=(Pspec(), jax.tree.map(lambda _: Pspec(), p_ref)),
+    ))(out_sh, batch_sh)
+
+    np.testing.assert_allclose(float(t), float(t_ref), rtol=2e-4)
+    for k in p_ref:
+        np.testing.assert_allclose(float(parts[k]), float(p_ref[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+
 def test_perfect_occupancy_gives_zero_loss():
     rng, batch, iid, scene = _batch(4)
     out = _outputs(rng)._replace(occupancy=batch["occupancy"])
