@@ -60,6 +60,9 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # the 27-offset x NG-group unrolled kernel exceeds the default Python
+    # recursion limit during jaxpr lowering
+    sys.setrecursionlimit(100_000)
     rng = np.random.default_rng(0)
 
     # ---------- A: single-vreg lane gathers at various sublane counts ----

@@ -325,7 +325,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             smesh, planes, tcfg, lcfg, num_scenes=batch_per_dev,
             num_instances=i_cap,
             block_reps=config.get("block_reps", 1),
-            residual_blocks=config.get("residual_blocks", True)))
+            residual_blocks=config.get("residual_blocks", True),
+            num_classes=config.get("class_num", 20)))
         step_fns = None
         buckets = None  # bucketed caps and spatial splits don't compose yet
         n_dev = 1  # batches flow through the single-stream prefetcher

@@ -32,8 +32,10 @@ STANFORD_CLASS_LABELS = (
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray,
                      num_classes: int = 20) -> jnp.ndarray:
-    """[C, C] counts over points with gt >= 0 (row = gt, col = pred)."""
-    valid = gt >= 0
+    """[C, C] counts over points with 0 <= gt < num_classes (row = gt,
+    col = pred); out-of-range gt (e.g. 20-class labels under the 14-class
+    Stanford table) is ignored like padding."""
+    valid = (gt >= 0) & (gt < num_classes)
     idx = jnp.where(valid, gt * num_classes + jnp.clip(pred, 0,
                                                        num_classes - 1), 0)
     counts = jnp.zeros((num_classes * num_classes,), jnp.int64)
