@@ -1,0 +1,120 @@
+"""Round-3 experiment K: kill the per-step plan retiling copies.
+
+The op profile shows ~8-10ms/step of `copy`/`copy-done` feeding the
+Pallas custom calls — XLA retiles the plan arrays (lidx [C,K,M] etc.)
+from the default input layout to the kernel-preferred layout EVERY step.
+The plan rides host->device once per batch anyway, so device_put'ing it
+directly in the executable's preferred input layouts should make the
+copies vanish.
+
+Measures the bench fwd+bwd step (state-chained, reliable) with the plan
+device_put plainly vs device_put with `Format(preferred_layout)`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CAPS = (196_608, 139_264, 63_488, 17_408, 4_096, 1_024)
+N_PLANES = (64, 128, 192, 256, 320, 384)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.losses.instance import semantic_cross_entropy
+    from occuseg_tpu.models.occuseg import _Backbone
+    from occuseg_tpu.native.plan import build_plan_host
+    from occuseg_tpu.ops.pallas.chunk_conv import augment_plan_with_chunks
+
+    spec = PlanSpec(caps=CAPS)
+    batch = make_batch(SceneConfig(num_points=200_000, extent=512,
+                                   num_objects=24),
+                       num_scenes=1, p_cap=262_144, num_instances=64, seed=0)
+    host_plan = augment_plan_with_chunks(
+        build_plan_host(batch["coords"], spec))
+    plan = jax.tree.map(jnp.asarray, host_plan)
+
+    class SemModel(nn.Module):
+        @nn.compact
+        def __call__(self, feats, plan, train=False):
+            f = _Backbone(N_PLANES, block_reps=1, residual_blocks=True,
+                          compute_dtype=jnp.bfloat16,
+                          name="backbone")(feats, plan, train)
+            return nn.Dense(20, name="linear")(f)
+
+    model = SemModel()
+    feats = jnp.asarray(batch["features"])
+    labels = jnp.asarray(batch["labels"])
+    init_fn = jax.jit(lambda r, f, p: model.init(r, f, p, False))
+    variables = init_fn(jax.random.PRNGKey(0), feats, plan)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(params, batch_stats, feats, plan, labels):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, feats, plan,
+            True, mutable=["batch_stats"])
+        return semantic_cross_entropy(logits, labels), mutated["batch_stats"]
+
+    @jax.jit
+    def fwd_bwd(params, batch_stats, feats, plan, labels):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, feats, plan, labels)
+        return loss, new_stats, grads
+
+    def bench_steps(plan_arg, n=10):
+        loss, bs, grads = fwd_bwd(params, batch_stats, feats, plan_arg,
+                                  labels)
+        jax.block_until_ready(grads)
+        bs_cur = bs
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                loss, bs_cur, grads = fwd_bwd(params, bs_cur, feats,
+                                              plan_arg, labels)
+            jax.block_until_ready(grads)
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best * 1e3
+
+    t_plain = bench_steps(plan)
+    print(f"step with plain plan: {t_plain:.1f} ms", flush=True)
+
+    # preferred input layouts for the plan subtree
+    from jax.experimental.layout import Format
+
+    compiled = fwd_bwd.lower(params, batch_stats, feats, plan,
+                             labels).compile()
+    flat_layouts = compiled._input_layouts_flat()
+    args_flat, treedef = jax.tree_util.tree_flatten(
+        (params, batch_stats, feats, plan, labels))
+    assert len(flat_layouts) == len(args_flat), (
+        len(flat_layouts), len(args_flat))
+    relaid_flat = []
+    n_relaid = 0
+    for a, lay in zip(args_flat, flat_layouts):
+        try:
+            b = jax.device_put(a, Format(lay))
+            n_relaid += 1
+        except Exception:
+            b = a
+        relaid_flat.append(b)
+    (_, _, _, plan2, _) = jax.tree_util.tree_unflatten(treedef, relaid_flat)
+    print(f"relaid {n_relaid}/{len(args_flat)} inputs", flush=True)
+
+    t_relaid = bench_steps(plan2)
+    print(f"step with layout-matched plan: {t_relaid:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

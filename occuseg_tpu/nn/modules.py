@@ -116,11 +116,21 @@ class SubmanifoldConvolution(nn.Module):
             # host-built chunk rulebook present: fused Pallas kernel
             # (ops/pallas/chunk_conv.py — VMEM-staged inputs, one-hot MXU
             # permutation; the reference chunk kernel's TPU analog).
-            # Zero-pad tiny Cin (e.g. the first 3->m conv) to a lane-tileable
+            # Zero-pad tiny Cin (e.g. the first 3->m conv) to a lane-tiled
             # width; padded columns meet zero weights, so out is unchanged.
+            # Tiny Cin pads all the way to 64: at Cin=8 the kernel's
+            # per-offset [M, 8] scratch stores are lane-misaligned masked
+            # writes and the first conv measured 2.4x over its one-hot
+            # roofline (7.5ms, exp_r3_b); the one-hot FLOPs don't change
+            # (the MXU pads the N dim regardless), only the stores align.
             from occuseg_tpu.ops.pallas.chunk_conv import chunk_gather_conv
             feats = x.features
-            pad = (-feats.shape[1]) % 8
+            c_in = feats.shape[1]
+            import os as _os
+            tiny_floor = int(_os.environ.get("OCC_TINY_PAD", 64))
+            target = max(tiny_floor, c_in + (-c_in) % 8) \
+                if c_in < 48 else c_in + (-c_in) % 8
+            pad = target - c_in
             w_eff = w
             if pad:
                 feats = jnp.pad(feats, ((0, 0), (0, pad)))
