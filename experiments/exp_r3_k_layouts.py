@@ -73,19 +73,23 @@ def main():
         return loss, new_stats, grads
 
     def bench_steps(plan_arg, n=10):
-        loss, bs, grads = fwd_bwd(params, batch_stats, feats, plan_arg,
-                                  labels)
+        # CONTINUOUS state chain, never reset — replaying an identical
+        # sequence from the same starting stats gets deduped by the tunnel
+        loss, bs_cur, grads = fwd_bwd(params, batch_stats, feats, plan_arg,
+                                      labels)
         jax.block_until_ready(grads)
-        bs_cur = bs
-        best = 1e9
-        for _ in range(3):
+        float(loss)  # host materialization — the only real sync point on
+        # this tunnel (block_until_ready alone lets dispatches pipeline)
+        times = []
+        for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(n):
                 loss, bs_cur, grads = fwd_bwd(params, bs_cur, feats,
                                               plan_arg, labels)
-            jax.block_until_ready(grads)
-            best = min(best, (time.perf_counter() - t0) / n)
-        return best * 1e3
+            float(loss)
+            times.append((time.perf_counter() - t0) / n)
+        # the first window can still absorb queued work — drop it
+        return min(times[1:]) * 1e3
 
     t_plain = bench_steps(plan)
     print(f"step with plain plan: {t_plain:.1f} ms", flush=True)

@@ -37,13 +37,16 @@ def chain_time(fn, w, *args, iters: int = 20, reps: int = 3) -> float:
         return (w.astype(jnp.float32)
                 * (1.0 + (s - jnp.floor(s)) * 1e-3)).astype(w.dtype)
 
-    best = 1e9
-    for _ in range(reps):
-        w_cur = w
+    times = []
+    w_cur = w
+    for r in range(reps + 1):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fnj(w_cur, *args)
             w_cur = perturb(out)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+        # block_until_ready alone lets the tunnel pipeline dispatches —
+        # a HOST materialization is the only real sync point
+        float(out.reshape(-1)[0].astype(jnp.float32))
+        times.append((time.perf_counter() - t0) / iters)
+    # first window can absorb queued work — drop it
+    return min(times[1:]) * 1e3

@@ -723,7 +723,8 @@ def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
                              U_child=None, U_up: int = None,
-                             granule: int = 1, u_bump: int = 0):
+                             granule: int = 1, u_bump: int = 0,
+                             tiers=(1.0, 1.3, 1.7)):
     """Attach ChunkPlans to every eligible level AND transition of a
     host-built Topology (NumPy leaves). Maps that overflow their U keep
     chunks=None (XLA path).
@@ -735,7 +736,35 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     A level that overflows its U falls back to the XLA path for that batch
     — safe, just slower. IMPORTANT: U is part of the jitted step's static
     shapes — it must come from these static tables, never from the batch at
-    hand, or every batch recompiles."""
+    hand, or every batch recompiles.
+
+    `tiers`: scenes denser than the measured-maxima tables (the tables hug
+    ONE scene's chunk-halo stats; exp_r3_host_pool saw other seeds
+    overflow L0-L2) retry with ALL budgets scaled by the next tier factor
+    before giving up — a whole-plan tier so the jitted step sees at most
+    len(tiers) static shape variants (jit caches one executable each),
+    instead of falling off the ~29x XLA-path cliff."""
+    for f in tiers[:-1]:
+        out = _augment_once(plan, M, U, U_child, U_up, granule, u_bump, f,
+                            warn=False)
+        if out is not None:
+            return out
+    return _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
+                         tiers[-1], warn=True)
+
+
+def _scale_u(u, f):
+    if isinstance(u, int):
+        return -(-int(u * f) // 32) * 32 if f != 1.0 else u
+    return tuple(-(-int(x * f) // 32) * 32 for x in u) if f != 1.0 \
+        else tuple(u)
+
+
+def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
+                  warn):
+    """One tier attempt. Returns None (try next tier) if any M-aligned
+    level/transition overflowed and warn=False; with warn=True always
+    returns a plan (overflowing maps keep chunks=None -> XLA path)."""
     if U is None:
         # TIGHT: one-hot FLOPs scale with U and dominate the kernels —
         # measured +15% U cost +36 ms/step. Measured maxima at M=128:
@@ -762,6 +791,8 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     if granule > 1 and isinstance(U, tuple):
         # granule dedup inflates per-chunk slots ~10-25% (exp stats)
         U = tuple(-(-int(u * 1.3) // granule) * granule for u in U)
+    U, U_child, U_up = (_scale_u(U, tier_f), _scale_u(U_child, tier_f),
+                        _scale_u(U_up, tier_f))
     import logging
     logger = logging.getLogger("occuseg_tpu")
     new_levels = []
@@ -769,9 +800,12 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
         u = U if isinstance(U, int) else U[min(li, len(U) - 1)]
         chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u, granule)
         if chunks is None and np.asarray(lvl.nbr).shape[0] % M == 0:
+            if not warn:
+                return None  # try the next (looser) tier
             logger.warning(
-                "chunk plan overflow at level %d (U=%d) — falling back to "
-                "the XLA conv path for this batch", li, u)
+                "chunk plan overflow at level %d (U=%d, tier %.2f) — "
+                "falling back to the XLA conv path for this batch", li, u,
+                tier_f)
         new_levels.append(dataclasses.replace(lvl, chunks=chunks))
     new_transitions = []
     for ti, tr in enumerate(plan.transitions):
@@ -781,6 +815,12 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
         up_chunks = _chunk_or_none(np.asarray(tr.up), M, U_up)
         # the general-form VJP needs BOTH directions' plans
         if child_chunks is None or up_chunks is None:
+            if (child_chunks is None and np.asarray(tr.child).shape[0] % M
+                    == 0 and not warn):
+                return None
+            if (up_chunks is None and np.asarray(tr.up).shape[0] % M == 0
+                    and not warn):
+                return None
             child_chunks = up_chunks = None
         new_transitions.append(dataclasses.replace(
             tr, child_chunks=child_chunks, up_chunks=up_chunks))

@@ -165,6 +165,23 @@ def test_k_grouping_and_cout_blocking_paths(monkeypatch):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_u_tier_escalation():
+    """A scene denser than the tight U budgets retries with the next tier
+    (whole-plan, so the jitted step sees one extra static-shape variant)
+    instead of falling to the XLA path (round-3: typical scenes overflow
+    the seed-0-calibrated tables)."""
+    plan = _real_plan()
+    # U=96 overflows this scene at M=64; tier 2.0 -> 192 fits
+    aug = augment_plan_with_chunks(plan, M=M, U=(96, 96), U_child=256,
+                                   U_up=128, tiers=(1.0, 2.0))
+    assert aug.levels[0].chunks is not None
+    assert aug.levels[0].chunks.in_idx.shape[1] == 192
+    # single-tier behaviour: overflow -> chunks None (XLA fallback)
+    aug1 = augment_plan_with_chunks(plan, M=M, U=(96, 96), U_child=256,
+                                    U_up=128, tiers=(1.0,))
+    assert aug1.levels[0].chunks is None
+
+
 def test_fused_bwd_multiblock_cin_matches_xla():
     """cin=256 (two 128-lane blocks) now takes the FUSED backward (round-3
     eligibility relaxation — the kernel's full-array blocks never needed
