@@ -78,7 +78,8 @@ def report(totals, n_steps, label):
     print("buckets:", {k: round(v, 2) for k, v in
                        sorted(bsum.items(), key=lambda kv: -kv[1])},
           flush=True)
-    for name, ms in items[:45]:
+    top = int(os.environ.get("OCC_PROF_TOP", 45))
+    for name, ms in items[:top]:
         print(f"  {ms / n_steps:8.3f} ms  {name[:140]}", flush=True)
     print(f"total busy: {sum(totals.values()) / n_steps:.1f} ms", flush=True)
 
