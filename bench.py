@@ -87,6 +87,15 @@ def main() -> None:
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
         print(f"chunked levels: {n_chunked}/{len(host_plan.levels)}",
               file=sys.stderr)
+        # sorted point layout: scatter-free voxelize/devoxelize kernels
+        from occuseg_tpu.core.point_layout import (
+            apply_point_layout, augment_plan_with_point_layout,
+        )
+        host_plan = augment_plan_with_point_layout(host_plan)
+        batch = apply_point_layout(batch, host_plan,
+                                   num_scenes=NUM_SCENES)
+        print(f"point layout: {host_plan.vox_seg is not None}",
+              file=sys.stderr)
     t_plan = time.perf_counter() - t0
     if host_plan is None:  # no C++ toolchain: build on device
         host_plan = jax.jit(

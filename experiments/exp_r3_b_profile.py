@@ -100,8 +100,13 @@ def main():
     batch = make_batch(SceneConfig(num_points=200_000, extent=512,
                                    num_objects=24),
                        num_scenes=1, p_cap=262_144, num_instances=64, seed=0)
+    from occuseg_tpu.core.point_layout import (
+        apply_point_layout, augment_plan_with_point_layout,
+    )
     host_plan = augment_plan_with_chunks(
         build_plan_host(batch["coords"], spec))
+    host_plan = augment_plan_with_point_layout(host_plan)
+    batch = apply_point_layout(batch, host_plan, num_scenes=1)
     plan = jax.tree.map(jnp.asarray, host_plan)
 
     class SemModel(nn.Module):

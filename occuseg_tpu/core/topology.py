@@ -130,6 +130,12 @@ class Topology:
     # mesh axis the halo/pool exchanges and BN/loss psums ride on
     axis_name: str = dataclasses.field(metadata=dict(static=True),
                                        default=None)
+    # sorted point layout (core/point_layout.py): when set, points are
+    # host-permuted so voxelize/devoxelize run as block-local one-hot MXU
+    # products (ops/pallas/segsum.py) instead of TPU scatters
+    vox_seg: jnp.ndarray = None     # int32 [B, 1, R] block-local voxel ids
+    vox_counts: jnp.ndarray = None  # f32 [cap0] points per voxel (host)
+    point_perm: jnp.ndarray = None  # int32 [P_cap] slot -> original point
 
     def overflow(self) -> jnp.ndarray:
         """True if any level filled its cap (voxels were dropped) — the analog

@@ -396,7 +396,9 @@ class InputLayer(nn.Module):
                  train: bool = False) -> SparseTensor:
         lvl = plan.levels[0]
         vox = pool_ops.voxelize_features(point_features, plan.p2v, lvl.cap,
-                                         mode=self.mode)
+                                         mode=self.mode,
+                                         vox_seg=plan.vox_seg,
+                                         vox_counts=plan.vox_counts)
         return SparseTensor(features=vox, num_active=lvl.num_active, level=0)
 
 
@@ -408,7 +410,8 @@ class OutputLayer(nn.Module):
     def __call__(self, x: SparseTensor, plan: Topology,
                  train: bool = False) -> jnp.ndarray:
         assert x.level == 0, "OutputLayer expects level-0 features"
-        return pool_ops.devoxelize_features(x.features, plan.p2v)
+        return pool_ops.devoxelize_features(x.features, plan.p2v,
+                                            vox_seg=plan.vox_seg)
 
 
 class BLInputLayer(nn.Module):
@@ -426,7 +429,9 @@ class BLInputLayer(nn.Module):
         flat = point_features.reshape(B * L, C)
         lvl = plan.levels[0]
         vox = pool_ops.voxelize_features(flat, plan.p2v, lvl.cap,
-                                         mode=self.mode)
+                                         mode=self.mode,
+                                         vox_seg=plan.vox_seg,
+                                         vox_counts=plan.vox_counts)
         return SparseTensor(features=vox, num_active=lvl.num_active, level=0)
 
 
@@ -439,7 +444,8 @@ class BLOutputLayer(nn.Module):
     def __call__(self, x: SparseTensor, plan: Topology,
                  train: bool = False) -> jnp.ndarray:
         assert x.level == 0
-        flat = pool_ops.devoxelize_features(x.features, plan.p2v)
+        flat = pool_ops.devoxelize_features(x.features, plan.p2v,
+                                            vox_seg=plan.vox_seg)
         L = flat.shape[0] // self.batch_size
         return flat.reshape(self.batch_size, L, -1)
 

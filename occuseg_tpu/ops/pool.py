@@ -8,10 +8,67 @@ path except voxelization itself, which is a segment reduction.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from occuseg_tpu.ops.gather import gather_rows
+
+
+def _interpreted_shard_map(*arrays) -> bool:
+    """CPU tests run pallas in interpret mode, whose HLO interpreter cannot
+    typecheck block slicing under shard_map's check_vma — same workaround
+    as chunk_conv's `_dechunked_conv` dispatch."""
+    from occuseg_tpu.ops.pallas.chunk_conv import (
+        _interpret_default, _under_shard_map,
+    )
+    return _interpret_default() and _under_shard_map(*arrays)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sorted_voxelize(num_out: int):
+    """Differentiable scatter-free points->voxels sum for the sorted point
+    layout (ops/pallas/segsum.py). Backward is the devoxelize gather."""
+    from occuseg_tpu.ops.pallas.segsum import sorted_segment_sum
+
+    @jax.custom_vjp
+    def f(x, p2v, vox_seg):
+        return sorted_segment_sum(x, p2v, vox_seg, num_out)
+
+    def fwd(x, p2v, vox_seg):
+        return f(x, p2v, vox_seg), (p2v,)
+
+    def bwd(res, ct):
+        (p2v,) = res
+        # x is pre-cast to f32 by the caller, so d_x is f32 too
+        return gather_rows(ct, p2v), None, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sorted_devoxelize(num_out: int, dtype_name: str):
+    """Voxels->points gather whose BACKWARD is the scatter-free blocked
+    segment sum — the d_points->d_voxels scatter is the single largest
+    non-conv op of the step (measured 3.4 ms as an XLA scatter)."""
+    from occuseg_tpu.ops.pallas.segsum import sorted_segment_sum
+
+    @jax.custom_vjp
+    def f(vox, p2v, vox_seg):
+        return gather_rows(vox, p2v)
+
+    def fwd(vox, p2v, vox_seg):
+        return f(vox, p2v, vox_seg), (p2v, vox_seg)
+
+    def bwd(res, ct):
+        p2v, vox_seg = res
+        d_vox = sorted_segment_sum(ct, p2v, vox_seg, num_out)
+        return d_vox.astype(dtype_name), None, None
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def max_pool(feats: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
@@ -40,14 +97,26 @@ def unpool(coarse_feats: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
 
 
 def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
-                      num_voxels_cap: int, mode: str = "mean") -> jnp.ndarray:
+                      num_voxels_cap: int, mode: str = "mean",
+                      vox_seg: jnp.ndarray = None,
+                      vox_counts: jnp.ndarray = None) -> jnp.ndarray:
     """Points -> voxels reduction: the InputLayer forward
     (`SCN/CUDA/IOLayers.cu` InputLayer_fp; modes per `IOLayersRules.h:10-16`:
     0 unique / 2 keep = 'first', 1 overwrite = 'last', 3 = 'sum',
     4 = 'mean'; 'max' added for completeness).
 
     point_feats [P,C], p2v [P] int32 (-1 = dropped/padding point).
+    vox_seg/vox_counts (plan.vox_seg/.vox_counts): sorted point layout —
+    sum/mean run scatter-free on the Pallas blocked kernel, and the
+    point-count pass disappears (counts are plan-static host data).
     """
+    if vox_seg is not None and mode in ("sum", "mean") \
+            and not _interpreted_shard_map(point_feats):
+        s = _make_sorted_voxelize(num_voxels_cap)(
+            point_feats.astype(jnp.float32), p2v, vox_seg)
+        if mode == "mean":
+            s = s / jnp.maximum(vox_counts[:, None], 1)
+        return s.astype(point_feats.dtype)
     seg = jnp.where(p2v >= 0, p2v, num_voxels_cap).astype(jnp.int32)
     f32 = point_feats.astype(jnp.float32)
     if mode in ("first", "last"):
@@ -78,8 +147,14 @@ def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
     raise ValueError(f"unknown voxelize mode: {mode}")
 
 
-def devoxelize_features(voxel_feats: jnp.ndarray, p2v: jnp.ndarray
-                        ) -> jnp.ndarray:
+def devoxelize_features(voxel_feats: jnp.ndarray, p2v: jnp.ndarray,
+                        vox_seg: jnp.ndarray = None) -> jnp.ndarray:
     """Voxels -> points gather: the OutputLayer forward
-    (`ioLayers.py:66-87`; backward of InputLayer in the reference)."""
+    (`ioLayers.py:66-87`; backward of InputLayer in the reference). With
+    the sorted point layout (`vox_seg`), the backward scatter runs on the
+    Pallas blocked segment-sum kernel."""
+    if vox_seg is not None and not _interpreted_shard_map(voxel_feats):
+        return _make_sorted_devoxelize(
+            voxel_feats.shape[0], jnp.dtype(voxel_feats.dtype).name)(
+            voxel_feats, p2v, vox_seg)
     return gather_rows(voxel_feats, p2v)

@@ -130,6 +130,12 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                         augment_plan_with_chunks,
                     )
                     plan = augment_plan_with_chunks(plan, u_bump=u_bump)
+                if plan is not None and spatial is None:
+                    from occuseg_tpu.core.point_layout import (
+                        apply_point_layout, augment_plan_with_point_layout,
+                    )
+                    plan = augment_plan_with_point_layout(plan)
+                    b = apply_point_layout(b, plan)
                 if spatial is not None and plan is not None:
                     from occuseg_tpu.parallel.spatial_model import (
                         prepare_shard_args,
@@ -207,6 +213,15 @@ def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
                                 b.get("normals") if use_normals else None,
                                 chunks=chunks, u_bump=u_bump)
                  for b in group]
+        from occuseg_tpu.core.point_layout import (
+            apply_point_layout, augment_plan_with_point_layout,
+        )
+        lplans = [augment_plan_with_point_layout(p) for p in plans]
+        if all(p.vox_seg is not None for p in lplans):  # all-or-none: the
+            # stacked plan leaves must have uniform shapes across devices
+            group = [apply_point_layout(b, p)
+                     for b, p in zip(group, lplans)]
+            plans = lplans
         stacked = {k: np.stack([b[k] for b in group])
                    for k in group[0] if k != "region"}
         stacked["_w"] = np.asarray(weights, np.float32)
