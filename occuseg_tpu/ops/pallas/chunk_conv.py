@@ -316,6 +316,112 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     return d_feats, dw_t
 
 
+def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int):
+    def kernel(nz_ref, lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref,
+               dw_ref, g_scratch, acc):
+        """k-grouped fused backward (grid (C, KG), kg fastest) for convs
+        whose full weight set exceeds the v1 budget: the dW accumulator
+        stays FULLY RESIDENT as one constant-mapped [n_kg, cin, G*Ct] f32
+        output block (never left, so read-modify-write across the whole
+        grid is legal — same rule as v1's 2D block), indexed dw_ref[kg];
+        d_feats accumulates across the contiguous kg revisits in an f32
+        scratch like the forward kernel."""
+        c = pl.program_id(0)
+        kg = pl.program_id(1)
+        nz = nz_ref[0, 0, 0] > 0
+
+        @pl.when(kg == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        @pl.when(c == 0)
+        def _():
+            dw_ref[kg] = jnp.zeros_like(dw_ref[kg])
+
+        @pl.when(nz)
+        def _():
+            _build_g(lidx_ref, gct_ref, g_scratch, ct)
+            acc[:] += jax.lax.dot_general(
+                g_scratch[:], wt_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw_ref[kg] += jax.lax.dot_general(
+                feats_ref[0], g_scratch[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(kg == n_kg - 1)
+        def _():
+            dfeats_ref[0] = acc[:].astype(dfeats_ref.dtype)
+    return kernel
+
+
+def _bwd_fused_v2_grouping(K, M, Ct_in, cin, U, esize) -> int:
+    """Largest divisor G of K whose v2 working set fits: the resident
+    full-dW f32 block + per-cell staged scratch / weight / gct / feats
+    blocks. Returns 0 when even G == 1 does not fit (L3+ decoder concat
+    convs) — callers fall back to the separate-dW path."""
+    import os
+    if os.environ.get("OCC_FUSED_BWD_V2", "1") == "0":
+        return 0
+    dw = cin * K * Ct_in * 4
+    for d in range(K, 0, -1):
+        if K % d:
+            continue
+        cell = (dw
+                + M * d * Ct_in * esize        # g_scratch
+                + 2 * d * Ct_in * cin * esize  # wt block (double-buffered)
+                + 2 * U * Ct_in * esize        # gct block
+                + 3 * M * cin * esize          # feats + dfeats blocks
+                + M * cin * 4)                 # d_feats accumulator
+        if cell <= 13 * 1024 * 1024:
+            return d
+    return 0
+
+
+def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret):
+    """Same contract as _pallas_bwd_fused, with K split into groups of G."""
+    C, K, M = t_lidx.shape
+    U, Ct = gct.shape[1], gct.shape[2]
+    n_kg = K // G
+    t_lidx = t_lidx.reshape(C, n_kg, G, M)
+    nz = _chunk_nonempty(t_lidx, C, n_kg, G, M)
+    nz, t_lidx, gct, w_t, feats_c = _match_vma(nz, t_lidx, gct, w_t,
+                                               feats_c)
+    d_feats, dw_t = pl.pallas_call(
+        _make_bwd_fused_v2_kernel(C, n_kg, Ct),
+        grid=(C, n_kg),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda c, kg: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, M), lambda c, kg: (c, kg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U, Ct), lambda c, kg: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * Ct, out_cin), lambda c, kg: (kg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, out_cin), lambda c, kg: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, M, out_cin), lambda c, kg: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_kg, out_cin, G * Ct), lambda c, kg: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            _sds((C, M, out_cin), feats_c.dtype, gct),
+            _sds((n_kg, out_cin, G * Ct), jnp.float32, gct),
+        ),
+        scratch_shapes=[pltpu.VMEM((M, G * Ct), gct.dtype),
+                        pltpu.VMEM((M, out_cin), jnp.float32)],
+        interpret=interpret,
+    )(nz, t_lidx, gct, w_t, feats_c)
+    # [n_kg, cin, G*Ct] -> [cin, K*Ct] with offset blocks in K order
+    dw_t = jnp.transpose(dw_t, (1, 0, 2)).reshape(out_cin, K * Ct)
+    return d_feats, dw_t
+
+
 def _make_dw_kernel(n_c: int, cin: int):
     def kernel(nz_ref, lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch):
         """Grid (KG, CO, C), c fastest: each dW block's chunk revisits are
@@ -469,7 +575,9 @@ def _make_sub_conv(granule: int):
         K, Cin, Cout = weight.shape
         C, _, M = lidx.shape
         esize = jnp.dtype(feats.dtype).itemsize
-        fused = _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize)
+        fused = (_bwd_fused_eligible(K, M, Cout, Cin, Cout, esize)
+                 or _bwd_fused_v2_grouping(K, M, Cout, Cin,
+                                           in_idx.shape[1], esize) > 0)
         if fused:
             out = _fwd_impl(feats, in_idx, lidx, weight, granule)
             gin = None
@@ -499,6 +607,17 @@ def _make_sub_conv(granule: int):
                 d_feats, dw_t = _pallas_bwd_fused(
                     lidx, gct, w_rev_t.reshape(K * Cout, Cin),
                     feats.reshape(C, M, Cin), Cin, interpret)
+            d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                                (1, 0, 2))[::-1].astype(weight.dtype)
+            return (d_feats.reshape(-1, Cin), None, None, d_w)
+
+        G2 = _bwd_fused_v2_grouping(K, M, Cout, Cin, in_idx.shape[1],
+                                    esize)
+        if G2:
+            with jax.enable_x64(False):
+                d_feats, dw_t = _pallas_bwd_fused_v2(
+                    lidx, gct, w_rev_t.reshape(K * Cout, Cin),
+                    feats.reshape(C, M, Cin), Cin, G2, interpret)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2))[::-1].astype(weight.dtype)
             return (d_feats.reshape(-1, Cin), None, None, d_w)
@@ -569,7 +688,9 @@ def _make_t_conv(granule: int, t_granule: int):
         Ct, _, Mt = t_lidx.shape
         esize = jnp.dtype(feats.dtype).itemsize
         fused = (Ct * Mt == feats.shape[0]
-                 and _bwd_fused_eligible(K, Mt, Cout, Cin, Cout, esize))
+                 and (_bwd_fused_eligible(K, Mt, Cout, Cin, Cout, esize)
+                      or _bwd_fused_v2_grouping(
+                          K, Mt, Cout, Cin, t_in_idx.shape[1], esize) > 0))
         if fused:
             out = _fwd_impl(feats, in_idx, lidx, weight, granule)
             gin = None
@@ -600,6 +721,19 @@ def _make_t_conv(granule: int, t_granule: int):
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2)).astype(weight.dtype)
             return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+
+        if Ct * Mt == feats.shape[0]:
+            G2 = _bwd_fused_v2_grouping(K, Mt, Cout, Cin,
+                                        t_in_idx.shape[1], esize)
+            if G2:
+                with jax.enable_x64(False):
+                    d_feats, dw_t = _pallas_bwd_fused_v2(
+                        t_lidx, gct, w_t.reshape(K * Cout, Cin),
+                        feats.reshape(Ct, Mt, Cin), Cin, G2, interpret)
+                d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
+                                    (1, 0, 2)).astype(weight.dtype)
+                return (d_feats.reshape(-1, Cin), None, None, None, None,
+                        d_w)
 
         gin = gin_saved if gin_saved is not None \
             else _stage(feats, in_idx, granule)

@@ -376,3 +376,39 @@ def test_granule_staging_matches_granule1():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g2w), np.asarray(g1w),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bwd_v2_kgrouped_matches_xla(monkeypatch):
+    """Force the k-grouped fused backward (v2: resident full-dW block,
+    grid (C, KG)) and check both gradients against the XLA path."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    monkeypatch.setattr(cc, "_bwd_fused_eligible",
+                        lambda *a, **k: False)
+    for G in (9, 27):
+        monkeypatch.setattr(cc, "_bwd_fused_v2_grouping",
+                            lambda *a, _g=G, **k: _g)
+        cc._make_sub_conv.cache_clear()
+        rng = np.random.default_rng(2)
+        feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((CAP, 8)), jnp.float32)
+
+        def loss_ref(f, ww):
+            return jnp.sum((gather_conv(f, jnp.asarray(nbr), ww) - tgt) ** 2)
+
+        def loss_chunk(f, ww):
+            o = cc.chunk_gather_conv(f, jnp.asarray(in_idx),
+                                     jnp.asarray(lidx), ww)
+            return jnp.sum((o - tgt) ** 2)
+
+        gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gf_c, gw_c = jax.grad(loss_chunk, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4)
+    cc._make_sub_conv.cache_clear()
