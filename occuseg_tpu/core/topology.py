@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -369,6 +369,13 @@ class PlanSpec:
     # "cubic" (3^d stencil) or "permutohedral" (d^2+d+1 lattice neighbors;
     # coordinates must be pre-mapped with ops/permutohedral.embed_points)
     lattice: str = "cubic"
+    # number of finest levels that carry normals/orientation classes
+    # (reference `normal_guide_scale = (full_scale >> rotation_guide_level)
+    # + 1`, `ConvolutionRules.h:774`: the normal-carrying downsample runs
+    # only while input spatial size >= the guide scale, i.e. orientation
+    # exists at levels 0..rotation_guide_level = guide_levels-1). None =
+    # carry through every level.
+    guide_levels: Optional[int] = None
 
     def level_offsets(self):
         if self.lattice == "permutohedral":
@@ -413,6 +420,12 @@ def build_plan(point_coords: jnp.ndarray, spec: PlanSpec,
     for l in range(1, spec.num_levels):
         keys_l = downsample_keys(levels[-1], spec.down_size, spec.down_stride,
                                  spec.caps[l])
+        if normals is not None and (spec.guide_levels is not None
+                                    and l >= spec.guide_levels):
+            # reference cutoff (`ConvolutionRules.h:774`): coarser grids
+            # than the guide scale run the fast non-normal downsample, so
+            # orientation stops here and stays identity below
+            normals = None
         orient_l = None
         if normals is not None:
             lvl_tmp = build_level(keys_l, spec.kernel, spec.dilation,

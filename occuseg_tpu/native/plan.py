@@ -206,6 +206,12 @@ def build_plan_host(point_coords: np.ndarray, spec: PlanSpec,
             transitions.append(LevelTransition(
                 child=child, up=up, size=spec.down_size,
                 stride=spec.down_stride))
+            if normals is not None and (spec.guide_levels is not None
+                                        and li + 1 >= spec.guide_levels):
+                # reference cutoff (`ConvolutionRules.h:774`): below the
+                # guide scale the non-normal downsample runs, so coarser
+                # levels keep identity orientation
+                normals = None
             if normals is not None:
                 # coarse normal = normalized sum of child normals (jitted
                 # builder's child-gather averaging)

@@ -58,8 +58,14 @@ def build_model(config: Dict):
 
 
 def build_spec(config: Dict) -> PlanSpec:
+    # --use_normal: orientation classes only at levels
+    # 0..rotation_guide_level (reference `model.py:662-663`
+    # normal_guide_scale = (full_scale >> rotation_guide_level) + 1)
+    guide = (int(config.get("rotation_guide_level", 0)) + 1
+             if config.get("use_normal") else None)
     return PlanSpec(caps=tuple(plan_caps(config)),
-                    kernel=config.get("kernel_size", 3))
+                    kernel=config.get("kernel_size", 3),
+                    guide_levels=guide)
 
 
 def _synthetic_dataset(config: Dict):

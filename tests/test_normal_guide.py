@@ -180,3 +180,25 @@ def test_use_normal_train_step_end_to_end():
     _, parts_jit = step(state3, batch, None)
     np.testing.assert_allclose(float(parts_host["total"]),
                                float(parts_jit["total"]), rtol=1e-4)
+
+
+def test_guide_levels_cutoff():
+    """PlanSpec.guide_levels reproduces the reference's normal_guide_scale
+    cutoff (`ConvolutionRules.h:774`, `model.py:662-663`): orientation
+    classes exist only at levels 0..rotation_guide_level; coarser levels
+    stay identity. Host and jit builders agree on the cutoff."""
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native.plan import build_plan_host
+
+    spec = T.PlanSpec(caps=(2048, 1024, 512), guide_levels=2)
+    b = make_batch(SceneConfig(num_points=3000, extent=64, num_objects=6),
+                   1, 4096, 8, seed=21)
+    for plan in (build_plan_host(b["coords"], spec, b["normals"]),
+                 jax.jit(lambda c, n: T.build_plan(c, spec, n))(
+                     jnp.asarray(b["coords"]), jnp.asarray(b["normals"]))):
+        for li, lvl in enumerate(plan.levels):
+            o = np.asarray(lvl.orient)[:int(lvl.num_active)]
+            if li < 2:
+                assert (o != 0).any(), (li, "guided level lost orientation")
+            else:
+                assert (o == 0).all(), (li, "orientation leaked past cutoff")
