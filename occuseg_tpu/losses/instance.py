@@ -238,6 +238,32 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
         instance_id, point_scene, labels, I, an)
     use = exists & (count_i >= cfg.min_instance_points)
 
+    # Optional fused Pallas sweep (OCC_PALLAS_BCE=1; ops/pallas/bce_loss).
+    # Measured 2.2 ms SLOWER than the XLA chain below on the flagship step
+    # (207.1 vs 204.9 ms) — kept as switchable machinery with equality
+    # tests (tests/test_bce_loss.py), default off.
+    from occuseg_tpu.ops.pallas import bce_loss as _bce
+    from occuseg_tpu.ops.pallas.chunk_conv import (
+        _interpret_default, _under_shard_map,
+    )
+    interp = _interpret_default()
+    if (_bce.supported(e.shape[0], I, e.shape[1])
+            and not (interp and _under_shard_map(e, instance_id))):
+        bce_sum, n_samp, tp, fp, tot = _bce.bce_membership_sums(
+            e, rx, sig, mu, mean_pose, x, instance_id, point_scene,
+            scene_i, use, interp)
+        if an is not None:
+            bce_sum, n_samp, tp, fp, tot = (
+                jax.lax.psum(v, an) for v in (bce_sum, n_samp, tp, fp,
+                                              tot))
+        per_inst = bce_sum / jnp.maximum(n_samp, 1)
+        n_inst = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
+        loss = (jnp.sum(jnp.where(use, per_inst, 0)) / n_inst
+                * cfg.classification_weight)
+        iou = tp / jnp.maximum(tot + fp, 1.0)
+        miou = jnp.sum(jnp.where(use, iou, 0)) / n_inst
+        return loss, miou
+
     # [P, I] squared distances via |a|^2 + |b|^2 - 2 a.b (MXU path)
     def sqdist(a, b):
         an = jnp.sum(a * a, axis=1, keepdims=True)
