@@ -115,6 +115,24 @@ def _sanitize_seg(instance_id, num):
     return jnp.where(instance_id >= 0, instance_id, num).astype(jnp.int32)
 
 
+def _seg_lookup(table, seg, num):
+    """Per-point lookup `table[seg]` as a one-hot MXU dot.
+
+    The AUTODIFF TRANSPOSE of a dot is another dot, whereas the transpose
+    of a row gather is a TPU scatter-add that serializes on the P >> num
+    duplicate indices (measured 2.2 ms/step for the [P] -> [64, m] d_mu
+    scatter in the flagship step). Rows with seg >= num (padding) read 0 —
+    callers mask those points anyway."""
+    oh = (seg[:, None] == jnp.arange(num, dtype=seg.dtype)[None, :]
+          ).astype(jnp.float32)
+    t = table.astype(jnp.float32)
+    out = jax.lax.dot_general(
+        oh, t[:, None] if t.ndim == 1 else t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out[:, 0] if table.ndim == 1 else out
+
+
 def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                            axis_name: str | None = None) -> jnp.ndarray:
     """Mean CE over points with label >= 0 (torch ignore_index=-100).
@@ -168,7 +186,8 @@ def discriminative_loss(embedding: jnp.ndarray, instance_id: jnp.ndarray,
     valid_pt = instance_id >= 0
 
     # pull (variance) term: per-scene mean over points, then mean over scenes
-    dev = _safe_norm(e - mu[jnp.clip(seg, 0, I - 1)], axis=1)
+    # (mu per point via one-hot dot: its backward is a dot, not a scatter)
+    dev = _safe_norm(e - _seg_lookup(mu, seg, I), axis=1)
     dev = jnp.maximum(dev - cfg.delta_v, 0.0) ** 2
     pscene = jnp.where(valid_pt, point_scene, num_scenes)
     per_scene_sum = _seg_sum(jnp.where(valid_pt, dev, 0), pscene,
@@ -277,15 +296,19 @@ def classification_loss(embedding: jnp.ndarray, bw: jnp.ndarray,
     d_spat_r = jnp.sqrt(sqdist(rx, mean_pose) + 1e-12)
     d_spat = jnp.sqrt(sqdist(x, mean_pose) + 1e-12)
 
-    # instance radius = max spatial distance of its own points to its center
-    own_d = jnp.take_along_axis(
-        d_spat, jnp.clip(seg, 0, I - 1)[:, None], axis=1)[:, 0]
-    radius = _seg_max(jnp.where(valid_pt, own_d, 0), seg, I + 1, 0.0,
-                      an)[:I]
+    # instance radius = max spatial distance of its own points to its
+    # center: a masked column max over the (gradient-free: x and mean_pose
+    # are GT) d_spat matrix. The former per-point formulation — a
+    # take_along_axis element gather plus a from-scratch _seg_max — ran at
+    # 5.3 ms/step on TPU; this fuses into a lane-direction reduce of the
+    # already-materialized [P, I] pass.
+    member = (seg[:, None] == jnp.arange(I)[None, :]) & valid_pt[:, None]
+    radius = jnp.max(jnp.where(member, d_spat, 0.0), axis=0)
+    if an is not None:
+        radius = jax.lax.pmax(radius, an)
 
     same_scene = point_scene[:, None] == scene_i[None, :]
     sample = (d_spat < 4.0 * radius[None, :]) & same_scene & use[None, :]
-    member = (seg[:, None] == jnp.arange(I)[None, :]) & valid_pt[:, None]
 
     d1 = d_emb * sig[None, :, 0]
     d2 = d_spat_r * sig[None, :, 1]
@@ -347,7 +370,7 @@ def _cluster_losses(disp_err: jnp.ndarray, occ_err: jnp.ndarray,
     occ_mean = inst_mean(occ[:, 0])
     # centered two-pass variance (E[x^2]-E[x]^2 cancels catastrophically);
     # unbiased, matching torch_scatter scatter_std default
-    centered = occ[:, 0] - occ_mean[jnp.clip(seg, 0, I - 1)]
+    centered = occ[:, 0] - _seg_lookup(occ_mean, seg, I)
     sq_sum = _seg_sum(jnp.where(valid_pt, centered * centered, 0), seg,
                       I + 1, an)
     n = jnp.maximum(count_i, 1.0)
@@ -493,8 +516,8 @@ def drift_loss(embedding: jnp.ndarray, regressed_pose: jnp.ndarray,
     fg = exists & (cls_i >= cfg.foreground_class_threshold)
 
     segc = jnp.clip(seg, 0, I - 1)
-    err = (jnp.abs(e * w - mu_e[segc] * w).mean(axis=1)
-           + jnp.abs(rp * w - mu_p[segc] * w).mean(axis=1))
+    err = (jnp.abs(e * w - _seg_lookup(mu_e[:I], seg, I) * w).mean(axis=1)
+           + jnp.abs(rp * w - _seg_lookup(mu_p[:I], seg, I) * w).mean(axis=1))
     use = valid & fg[segc]
     per_inst = _seg_sum(jnp.where(use, err, 0), seg, I + 1, an)[:I]
     per_cnt = _seg_sum(use.astype(jnp.float32), seg, I + 1, an)[:I]
