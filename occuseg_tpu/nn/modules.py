@@ -56,7 +56,8 @@ def _sharded_conv(feats, map_arr, ex, w, b, chunks, axis_name):
         out = chunk_gather_conv_t(
             ext, chunks.in_idx, chunks.lidx,
             ex.chunks_t.in_idx, ex.chunks_t.lidx, w_eff,
-            granule=chunks.granule, t_granule=ex.chunks_t.granule)
+            granule=chunks.granule, t_granule=ex.chunks_t.granule,
+            tmask=chunks.tmask, t_tmask=ex.chunks_t.tmask)
     else:
         from occuseg_tpu.ops import conv as conv_ops
         # custom_vjp blocks shard_map's replication inference — lift the
@@ -137,7 +138,8 @@ class SubmanifoldConvolution(nn.Module):
                 w_eff = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
             out = chunk_gather_conv(feats, lvl.chunks.in_idx,
                                     lvl.chunks.lidx, w_eff,
-                                    granule=lvl.chunks.granule)
+                                    granule=lvl.chunks.granule,
+                                    tmask=lvl.chunks.tmask)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -176,7 +178,8 @@ class Convolution(nn.Module):
                 x.features, tr.child_chunks.in_idx, tr.child_chunks.lidx,
                 tr.up_chunks.in_idx, tr.up_chunks.lidx, w,
                 granule=tr.child_chunks.granule,
-                t_granule=tr.up_chunks.granule)
+                t_granule=tr.up_chunks.granule,
+                tmask=tr.child_chunks.tmask, t_tmask=tr.up_chunks.tmask)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -219,7 +222,8 @@ class Deconvolution(nn.Module):
                 x.features, tr.up_chunks.in_idx, tr.up_chunks.lidx,
                 tr.child_chunks.in_idx, tr.child_chunks.lidx, w,
                 granule=tr.up_chunks.granule,
-                t_granule=tr.child_chunks.granule)
+                t_granule=tr.child_chunks.granule,
+                tmask=tr.up_chunks.tmask, t_tmask=tr.child_chunks.tmask)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:

@@ -56,6 +56,17 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_M = 128
 DEFAULT_U = 416
 
+# Column-tile width for one-hot TILE SKIPPING: the [M, U] one-hot product
+# decomposes into [M, TILE] column tiles, and a tile none of whose slots is
+# referenced by offset k in this chunk is skipped via an SMEM bitmask
+# (host-computed, `tile_mask`). Staged slots are globally row-sorted while
+# each offset's refs advance monotonically through the chunk, so per-(c, k)
+# references cluster: measured tile occupancy on the real bench plans is
+# 73/50/51/58/65/54% for L0..L5 (exp_r3_o) — a direct cut of the dominant
+# one-hot FLOP term. 128 = MXU contraction width; narrower tiles save no
+# time (the MXU pads the contraction dim to 128).
+TILE = 128
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +81,9 @@ class ChunkPlan:
     in_idx: jnp.ndarray  # int32 [C, U/g] granule ids staged per chunk, -1 pad
     lidx: jnp.ndarray    # int32 [C, K, M] granule-expanded slot, -1 missing
     granule: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # int32 [C, K] one-hot tile-skip bitmask (bit t: offset k references a
+    # slot in column tile t), or None for the untiled kernels
+    tmask: Optional[jnp.ndarray] = None
 
     @property
     def geometry(self) -> Tuple[int, int, int, int]:
@@ -148,15 +162,44 @@ def _lane_pack(cin: int, U: int) -> int:
     return 1
 
 
-def _build_g(lidx_ref, gin_ref, g_scratch, cin: int):
+def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None):
     """Stage G offsets' gathered rows into g_scratch [M, G*cin] via one-hot
     MXU products (lidx == -1 rows come out zero for free).
     lidx_ref block is [1, 1, G, M] (4D so the G dim can be non-8-aligned);
-    gin_ref block is [1, U/r, r*cin] (see _lane_pack)."""
+    gin_ref block is [1, U/r, r*cin] (see _lane_pack).
+
+    With tm_ref (SMEM [1, 1, G] int32 per-offset tile bitmasks, see TILE)
+    the product decomposes into TILE-wide column tiles and unreferenced
+    tiles are skipped — each output row comes from exactly ONE slot (the
+    one-hot has a single 1 per row over the FULL U), so skipped tiles
+    contribute exact zeros and the per-tile accumulation is bit-identical
+    to the single [M, U] product."""
     G, M = lidx_ref.shape[2], lidx_ref.shape[3]
     Ur, Cr = gin_ref.shape[1], gin_ref.shape[2]
     r = Cr // cin
     gin = gin_ref[0]
+    if tm_ref is not None:
+        assert r == 1, "tile skipping assumes unpacked lanes"
+        for k in range(G):
+            l = lidx_ref[0, 0, k, :]
+            bits = tm_ref[0, 0, k]
+            ks = slice(k * cin, (k + 1) * cin)
+            g_scratch[:, ks] = jnp.zeros((M, cin), g_scratch.dtype)
+            for t in range(-(-Ur // TILE)):
+                lo = t * TILE
+                w = min(TILE, Ur - lo)
+
+                @pl.when((bits & (1 << t)) > 0)
+                def _(l=l, lo=lo, w=w, ks=ks):
+                    iota_t = lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (M, w), 1)
+                    oh = (l[:, None] == iota_t).astype(gin.dtype)
+                    g = jax.lax.dot_general(
+                        oh, gin[lo:lo + w],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    g_scratch[:, ks] += g.astype(g_scratch.dtype)
+        return
     iota = jax.lax.broadcasted_iota(jnp.int32, (M, Ur), 1)
     for k in range(G):
         l = lidx_ref[0, 0, k, :]
@@ -177,12 +220,14 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int):
         g_scratch[:, k * cin:(k + 1) * cin] = g.astype(g_scratch.dtype)
 
 
-def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
-    def kernel(nz_ref, lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc):
+def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False):
+    def kernel(nz_ref, *args):
         """Grid (C, CO, KG), kg fastest: the f32 accumulator spans the
         contiguous kg revisits of one (chunk, Cout-block); out is written
         once at the last kg. All-pad chunks (nz==0, beyond num_active or a
         loose bucket cap) skip the one-hot build and matmuls entirely."""
+        tm_ref = args[0] if tiled else None
+        lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc = args[tiled:]
         kg = pl.program_id(2)
         nz = nz_ref[0, 0, 0] > 0
 
@@ -194,11 +239,11 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
             # single k-group: the staged G is valid for every Cout block
             @pl.when(nz & (pl.program_id(1) == 0))
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
         else:
             @pl.when(nz)
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
 
         @pl.when(nz)
         def _():
@@ -213,13 +258,15 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int):
     return kernel
 
 
-def _make_bwd_fused_kernel(n_c: int, cin: int):
-    def kernel(nz_ref, lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref,
-               dw_ref, g_scratch):
+def _make_bwd_fused_kernel(n_c: int, cin: int, tiled: bool = False):
+    def kernel(nz_ref, *args):
         """Fused backward (grid (C,)): the staged-Gct scratch serves BOTH
         d_feats (Gct @ W') and dW (feats_c^T @ Gct) — one one-hot build
         instead of two. dW accumulates across the contiguous c revisits;
         all-pad chunks skip everything but zero writes."""
+        tm_ref = args[0] if tiled else None
+        (lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
+         g_scratch) = args[tiled:]
         c = pl.program_id(0)
         nz = nz_ref[0, 0, 0] > 0
 
@@ -229,7 +276,7 @@ def _make_bwd_fused_kernel(n_c: int, cin: int):
 
         @pl.when(nz)
         def _():
-            _build_g(lidx_ref, gct_ref, g_scratch, cin)
+            _build_g(lidx_ref, gct_ref, g_scratch, cin, tm_ref)
             dfeats_ref[0] = jax.lax.dot_general(
                 g_scratch[:], wt_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -273,7 +320,8 @@ def _bwd_fused_eligible(K, M, Ct_in, cin, cout, esize) -> bool:
     return scratch + wt + dw + M * cin * esize * 3 <= 13 * 1024 * 1024
 
 
-def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
+def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret,
+                      tmask=None):
     """d_feats [C*M, out_cin] and dW-transposed [out_cin, K*Ct] in one pass.
     t_lidx/gct are the TRANSPOSE-direction chunk plan over d_feats rows;
     feats_c is the forward input chunked the same way [C, M, out_cin]."""
@@ -283,14 +331,19 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
     r = _lane_pack(Ct, U)
     gct = gct.reshape(C, U // r, r * Ct)
     nz = _chunk_nonempty(t_lidx, C, 1, K, M)
-    nz, t_lidx, gct, w_t, feats_c = _match_vma(nz, t_lidx, gct, w_t,
-                                               feats_c)
+    tiled = tmask is not None and r == 1
+    tm = (tmask.reshape(C, 1, K),) if tiled else ()
+    tm_spec = [pl.BlockSpec((1, 1, K), lambda c: (c, 0, 0),
+                            memory_space=pltpu.SMEM)] if tiled else []
+    nz, t_lidx, gct, w_t, feats_c, *tm = _match_vma(nz, t_lidx, gct, w_t,
+                                                    feats_c, *tm)
     d_feats, dw_t = pl.pallas_call(
-        _make_bwd_fused_kernel(C, Ct),
+        _make_bwd_fused_kernel(C, Ct, tiled),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
+            *tm_spec,
             pl.BlockSpec((1, 1, K, M), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Ct), lambda c: (c, 0, 0),
@@ -312,13 +365,13 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret):
         ),
         scratch_shapes=[pltpu.VMEM((M, K * Ct), gct.dtype)],
         interpret=interpret,
-    )(nz, t_lidx, gct, w_t, feats_c)
+    )(nz, *tm, t_lidx, gct, w_t, feats_c)
     return d_feats, dw_t
 
 
-def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int):
-    def kernel(nz_ref, lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref,
-               dw_ref, g_scratch, acc):
+def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int,
+                              tiled: bool = False):
+    def kernel(nz_ref, *args):
         """k-grouped fused backward (grid (C, KG), kg fastest) for convs
         whose full weight set exceeds the v1 budget: the dW accumulator
         stays FULLY RESIDENT as one constant-mapped [n_kg, cin, G*Ct] f32
@@ -326,6 +379,9 @@ def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int):
         grid is legal — same rule as v1's 2D block), indexed dw_ref[kg];
         d_feats accumulates across the contiguous kg revisits in an f32
         scratch like the forward kernel."""
+        tm_ref = args[0] if tiled else None
+        (lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
+         g_scratch, acc) = args[tiled:]
         c = pl.program_id(0)
         kg = pl.program_id(1)
         nz = nz_ref[0, 0, 0] > 0
@@ -340,7 +396,7 @@ def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int):
 
         @pl.when(nz)
         def _():
-            _build_g(lidx_ref, gct_ref, g_scratch, ct)
+            _build_g(lidx_ref, gct_ref, g_scratch, ct, tm_ref)
             acc[:] += jax.lax.dot_general(
                 g_scratch[:], wt_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -379,21 +435,27 @@ def _bwd_fused_v2_grouping(K, M, Ct_in, cin, U, esize) -> int:
     return 0
 
 
-def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret):
+def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
+                         tmask=None):
     """Same contract as _pallas_bwd_fused, with K split into groups of G."""
     C, K, M = t_lidx.shape
     U, Ct = gct.shape[1], gct.shape[2]
     n_kg = K // G
     t_lidx = t_lidx.reshape(C, n_kg, G, M)
     nz = _chunk_nonempty(t_lidx, C, n_kg, G, M)
-    nz, t_lidx, gct, w_t, feats_c = _match_vma(nz, t_lidx, gct, w_t,
-                                               feats_c)
+    tiled = tmask is not None
+    tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
+    tm_spec = [pl.BlockSpec((1, 1, G), lambda c, kg: (c, kg, 0),
+                            memory_space=pltpu.SMEM)] if tiled else []
+    nz, t_lidx, gct, w_t, feats_c, *tm = _match_vma(nz, t_lidx, gct, w_t,
+                                                    feats_c, *tm)
     d_feats, dw_t = pl.pallas_call(
-        _make_bwd_fused_v2_kernel(C, n_kg, Ct),
+        _make_bwd_fused_v2_kernel(C, n_kg, Ct, tiled),
         grid=(C, n_kg),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c, kg: (c, 0, 0),
                          memory_space=pltpu.SMEM),
+            *tm_spec,
             pl.BlockSpec((1, 1, G, M), lambda c, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U, Ct), lambda c, kg: (c, 0, 0),
@@ -416,16 +478,18 @@ def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret):
         scratch_shapes=[pltpu.VMEM((M, G * Ct), gct.dtype),
                         pltpu.VMEM((M, out_cin), jnp.float32)],
         interpret=interpret,
-    )(nz, t_lidx, gct, w_t, feats_c)
+    )(nz, *tm, t_lidx, gct, w_t, feats_c)
     # [n_kg, cin, G*Ct] -> [cin, K*Ct] with offset blocks in K order
     dw_t = jnp.transpose(dw_t, (1, 0, 2)).reshape(out_cin, K * Ct)
     return d_feats, dw_t
 
 
-def _make_dw_kernel(n_c: int, cin: int):
-    def kernel(nz_ref, lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch):
+def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False):
+    def kernel(nz_ref, *args):
         """Grid (KG, CO, C), c fastest: each dW block's chunk revisits are
         contiguous, so read-modify-write accumulation is safe."""
+        tm_ref = args[0] if tiled else None
+        lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch = args[tiled:]
         c = pl.program_id(2)
 
         @pl.when(c == 0)
@@ -434,7 +498,7 @@ def _make_dw_kernel(n_c: int, cin: int):
 
         @pl.when(nz_ref[0, 0, 0] > 0)
         def _():
-            _build_g(lidx_ref, gin_ref, g_scratch, cin)
+            _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
             dw_ref[:] += jax.lax.dot_general(
                 g_scratch[:], ct_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -451,7 +515,7 @@ def _chunk_nonempty(lidx4, C, n_kg, G, M) -> jnp.ndarray:
     return flag.astype(jnp.int32).reshape(C, 1, 1)
 
 
-def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
+def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
     C, K, M = lidx.shape
     U, Cin = gin.shape[1], gin.shape[2]
     Cout = w_flat.shape[1]
@@ -463,13 +527,18 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, n_kg, G, M)
-    nz, lidx, gin, w_flat = _match_vma(nz, lidx, gin, w_flat)
+    tiled = tmask is not None and r == 1
+    tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
+    tm_spec = [pl.BlockSpec((1, 1, G), lambda c, co, kg: (c, kg, 0),
+                            memory_space=pltpu.SMEM)] if tiled else []
+    nz, lidx, gin, w_flat, *tm = _match_vma(nz, lidx, gin, w_flat, *tm)
     return pl.pallas_call(
-        _make_fwd_kernel(n_kg, n_co, Cin),
+        _make_fwd_kernel(n_kg, n_co, Cin, tiled),
         grid=(C, n_co, n_kg),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c, co, kg: (c, 0, 0),
                          memory_space=pltpu.SMEM),
+            *tm_spec,
             pl.BlockSpec((1, 1, G, M), lambda c, co, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin),
@@ -484,10 +553,10 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret):
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype),
                         pltpu.VMEM((M, co_blk), jnp.float32)],
         interpret=interpret,
-    )(nz, lidx, gin, w_flat)
+    )(nz, *tm, lidx, gin, w_flat)
 
 
-def _pallas_dw(lidx, gin, ct_c, interpret):
+def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
     C, K, M = lidx.shape
     U, Cin = gin.shape[1], gin.shape[2]
     Cout = ct_c.shape[2]
@@ -497,13 +566,18 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, K // G, G, M)
-    nz, lidx, gin, ct_c = _match_vma(nz, lidx, gin, ct_c)
+    tiled = tmask is not None and r == 1
+    tm = (tmask.reshape(C, K // G, G),) if tiled else ()
+    tm_spec = [pl.BlockSpec((1, 1, G), lambda kg, co, c: (c, kg, 0),
+                            memory_space=pltpu.SMEM)] if tiled else []
+    nz, lidx, gin, ct_c, *tm = _match_vma(nz, lidx, gin, ct_c, *tm)
     return pl.pallas_call(
-        _make_dw_kernel(C, Cin),
+        _make_dw_kernel(C, Cin, tiled),
         grid=(K // G, Cout // co_blk, C),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda kg, co, c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
+            *tm_spec,
             pl.BlockSpec((1, 1, G, M), lambda kg, co, c: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin), lambda kg, co, c: (c, 0, 0),
@@ -517,7 +591,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret):
         out_shape=_sds((K * Cin, Cout), jnp.float32, gin),
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype)],
         interpret=interpret,
-    )(nz, lidx, gin, ct_c)
+    )(nz, *tm, lidx, gin, ct_c)
 
 
 def _stage(feats, in_idx, granule: int = 1):
@@ -548,27 +622,29 @@ def _stage(feats, in_idx, granule: int = 1):
 
 
 def _fwd_impl(feats, in_idx, lidx, weight, granule=1,
-              return_gin: bool = False):
+              return_gin: bool = False, tmask=None):
     K, Cin, Cout = weight.shape
     out_dtype = feats.dtype
     gin = _stage(feats, in_idx, granule)
     w_flat = weight.astype(out_dtype).reshape(K * Cin, Cout)
     with jax.enable_x64(False):
         out = _pallas_fwd(lidx, gin, w_flat, out_dtype,
-                          _interpret_default())
+                          _interpret_default(), tmask)
     out = out.reshape(-1, Cout)
     return (out, gin) if return_gin else out
 
 
 @functools.lru_cache(maxsize=None)
 def _make_sub_conv(granule: int):
-    """custom_vjp instance for a (static) staging granule."""
+    """custom_vjp instance for a (static) staging granule. `tmask` (an
+    array or None) is the one-hot tile-skip bitmask for lidx — the
+    submanifold map is self-transpose, so the backward reuses it."""
 
     @jax.custom_vjp
-    def f(feats, in_idx, lidx, weight):
-        return _fwd_impl(feats, in_idx, lidx, weight, granule)
+    def f(feats, in_idx, lidx, tmask, weight):
+        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask)
 
-    def fwd(feats, in_idx, lidx, weight):
+    def fwd(feats, in_idx, lidx, tmask, weight):
         # when the fused backward will NOT apply (decided by STATIC shapes),
         # keep the staged gin as a residual so bwd's dW kernel skips its
         # re-staging gather (staging gathers measured ~25GB/s effective)
@@ -579,15 +655,16 @@ def _make_sub_conv(granule: int):
                  or _bwd_fused_v2_grouping(K, M, Cout, Cin,
                                            in_idx.shape[1], esize) > 0)
         if fused:
-            out = _fwd_impl(feats, in_idx, lidx, weight, granule)
+            out = _fwd_impl(feats, in_idx, lidx, weight, granule,
+                            tmask=tmask)
             gin = None
         else:
             out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                                 return_gin=True)
-        return out, (feats, in_idx, lidx, weight, gin)
+                                 return_gin=True, tmask=tmask)
+        return out, (feats, in_idx, lidx, tmask, weight, gin)
 
     def bwd(res, ct):
-        feats, in_idx, lidx, weight, gin_saved = res
+        feats, in_idx, lidx, tmask, weight, gin_saved = res
         K, Cin, Cout = weight.shape
         ctc = ct.astype(feats.dtype)
         C, _, M = lidx.shape
@@ -606,10 +683,10 @@ def _make_sub_conv(granule: int):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused(
                     lidx, gct, w_rev_t.reshape(K * Cout, Cin),
-                    feats.reshape(C, M, Cin), Cin, interpret)
+                    feats.reshape(C, M, Cin), Cin, interpret, tmask)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2))[::-1].astype(weight.dtype)
-            return (d_feats.reshape(-1, Cin), None, None, d_w)
+            return (d_feats.reshape(-1, Cin), None, None, None, d_w)
 
         G2 = _bwd_fused_v2_grouping(K, M, Cout, Cin, in_idx.shape[1],
                                     esize)
@@ -617,10 +694,10 @@ def _make_sub_conv(granule: int):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused_v2(
                     lidx, gct, w_rev_t.reshape(K * Cout, Cin),
-                    feats.reshape(C, M, Cin), Cin, G2, interpret)
+                    feats.reshape(C, M, Cin), Cin, G2, interpret, tmask)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2))[::-1].astype(weight.dtype)
-            return (d_feats.reshape(-1, Cin), None, None, d_w)
+            return (d_feats.reshape(-1, Cin), None, None, None, d_w)
 
         # fallback: separate dW kernel (gathers feats via the forward map,
         # so no K reversal there)
@@ -628,12 +705,12 @@ def _make_sub_conv(granule: int):
             else _stage(feats, in_idx, granule)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
-                                 interpret)
+                                 interpret, tmask)
             d_feats = _pallas_fwd(lidx, gct,
                                   w_rev_t.reshape(K * Cout, Cin),
-                                  feats.dtype, interpret)
+                                  feats.dtype, interpret, tmask)
         d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
-        return (d_feats.reshape(-1, Cin), None, None, d_w)
+        return (d_feats.reshape(-1, Cin), None, None, None, d_w)
 
     f.defvjp(fwd, bwd)
     return f
@@ -662,28 +739,41 @@ def _dechunked_conv(feats, in_idx, lidx, weight, granule=1):
     return out.reshape(C * M, Cout).astype(feats.dtype)
 
 
+def _tiles_enabled() -> bool:
+    # default OFF until the nested pl.when lowering is validated on
+    # silicon (the tunnel was down when this landed); OCC_TILE_SKIP=1
+    # enables the tile-skipping kernels. CPU equality (values and grads,
+    # bit-exact) is pinned by tests/test_chunk_conv.py.
+    import os
+    return os.environ.get("OCC_TILE_SKIP", "0") == "1"
+
+
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
                       lidx: jnp.ndarray, weight: jnp.ndarray,
-                      granule: int = 1) -> jnp.ndarray:
+                      granule: int = 1, tmask=None) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k] via the chunked one-hot
     kernel. SUBMANIFOLD maps only (cap_in == cap_out and nbr self-transpose
     under offset reversal — the property the backward relies on).
 
     feats [N, Cin] with N == C*M; weight [K, Cin, Cout]. Returns [N, Cout].
+    `tmask` [C, K] int32 (see `tile_mask`) enables one-hot tile skipping;
+    OCC_TILE_SKIP=0 disables it for A/B runs.
     """
     if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
                                                  weight):
         return _dechunked_conv(feats, in_idx, lidx, weight, granule)
-    return _make_sub_conv(granule)(feats, in_idx, lidx, weight)
+    if not _tiles_enabled():
+        tmask = None
+    return _make_sub_conv(granule)(feats, in_idx, lidx, tmask, weight)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_t_conv(granule: int, t_granule: int):
     @jax.custom_vjp
-    def f(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
-        return _fwd_impl(feats, in_idx, lidx, weight, granule)
+    def f(feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask, weight):
+        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask)
 
-    def fwd(feats, in_idx, lidx, t_in_idx, t_lidx, weight):
+    def fwd(feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask, weight):
         K, Cin, Cout = weight.shape
         Ct, _, Mt = t_lidx.shape
         esize = jnp.dtype(feats.dtype).itemsize
@@ -692,15 +782,18 @@ def _make_t_conv(granule: int, t_granule: int):
                       or _bwd_fused_v2_grouping(
                           K, Mt, Cout, Cin, t_in_idx.shape[1], esize) > 0))
         if fused:
-            out = _fwd_impl(feats, in_idx, lidx, weight, granule)
+            out = _fwd_impl(feats, in_idx, lidx, weight, granule,
+                            tmask=tmask)
             gin = None
         else:
             out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                                 return_gin=True)
-        return out, (feats, in_idx, lidx, t_in_idx, t_lidx, weight, gin)
+                                 return_gin=True, tmask=tmask)
+        return out, (feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask,
+                     weight, gin)
 
     def bwd(res, ct):
-        feats, in_idx, lidx, t_in_idx, t_lidx, weight, gin_saved = res
+        (feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask, weight,
+         gin_saved) = res
         K, Cin, Cout = weight.shape
         ctc = ct.astype(feats.dtype)
         C, _, M = lidx.shape
@@ -717,10 +810,11 @@ def _make_t_conv(granule: int, t_granule: int):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused(
                     t_lidx, gct, w_t.reshape(K * Cout, Cin),
-                    feats.reshape(Ct, Mt, Cin), Cin, interpret)
+                    feats.reshape(Ct, Mt, Cin), Cin, interpret, t_tmask)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2)).astype(weight.dtype)
-            return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+            return (d_feats.reshape(-1, Cin), None, None, None, None, None,
+                    None, d_w)
 
         if Ct * Mt == feats.shape[0]:
             G2 = _bwd_fused_v2_grouping(K, Mt, Cout, Cin,
@@ -729,21 +823,23 @@ def _make_t_conv(granule: int, t_granule: int):
                 with jax.enable_x64(False):
                     d_feats, dw_t = _pallas_bwd_fused_v2(
                         t_lidx, gct, w_t.reshape(K * Cout, Cin),
-                        feats.reshape(Ct, Mt, Cin), Cin, G2, interpret)
+                        feats.reshape(Ct, Mt, Cin), Cin, G2, interpret,
+                        t_tmask)
                 d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                     (1, 0, 2)).astype(weight.dtype)
                 return (d_feats.reshape(-1, Cin), None, None, None, None,
-                        d_w)
+                        None, None, d_w)
 
         gin = gin_saved if gin_saved is not None \
             else _stage(feats, in_idx, granule)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
-                                 interpret)
+                                 interpret, tmask)
             d_feats = _pallas_fwd(t_lidx, gct, w_t.reshape(K * Cout, Cin),
-                                  feats.dtype, interpret)
+                                  feats.dtype, interpret, t_tmask)
         d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
-        return (d_feats.reshape(-1, Cin), None, None, None, None, d_w)
+        return (d_feats.reshape(-1, Cin), None, None, None, None, None,
+                None, d_w)
 
     f.defvjp(fwd, bwd)
     return f
@@ -752,20 +848,24 @@ def _make_t_conv(granule: int, t_granule: int):
 def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
                         lidx: jnp.ndarray, t_in_idx: jnp.ndarray,
                         t_lidx: jnp.ndarray, weight: jnp.ndarray,
-                        granule: int = 1, t_granule: int = 1
-                        ) -> jnp.ndarray:
+                        granule: int = 1, t_granule: int = 1,
+                        tmask=None, t_tmask=None) -> jnp.ndarray:
     """Chunked conv with an EXPLICIT transpose chunk plan — the general
     (non-submanifold) form used by strided convolution (fwd table = child,
     transpose = up) and deconvolution (fwd = up, transpose = child), where
     input and output row spaces differ. Transpose pairing is same-k:
     fwd_table[r,k] == i  <=>  t_table[i,k] == r (the child/up identity), so
     d_feats[i] = sum_k ct[t_table[i,k]] @ W[k]^T with NO offset reversal.
+    `tmask`/`t_tmask` are the two plans' tile-skip bitmasks (`tile_mask`).
     """
     if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
                                                  weight):
         return _dechunked_conv(feats, in_idx, lidx, weight, granule)
-    return _make_t_conv(granule, t_granule)(feats, in_idx, lidx, t_in_idx,
-                                            t_lidx, weight)
+    if not _tiles_enabled():
+        tmask = t_tmask = None
+    return _make_t_conv(granule, t_granule)(feats, in_idx, lidx, tmask,
+                                            t_in_idx, t_lidx, t_tmask,
+                                            weight)
 
 
 def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
@@ -846,13 +946,25 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
     return in_idx, np.ascontiguousarray(lidx.transpose(0, 2, 1))
 
 
+def tile_mask(lidx: np.ndarray) -> np.ndarray:
+    """[C, K] int32 bitmask from a [C, K, M] lidx: bit t set iff offset k
+    references any staged slot in column tile [t*TILE, (t+1)*TILE). Host
+    NumPy, one vectorized pass (the shift count is bounded by U/TILE <= 8
+    for every U table in use, so int32 is ample)."""
+    bits = np.where(lidx >= 0,
+                    np.int32(1) << (lidx // TILE).astype(np.int32),
+                    np.int32(0))
+    return np.bitwise_or.reduce(bits, axis=2).astype(np.int32)
+
+
 def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
     if table.shape[0] % M != 0:
         return None
     arrs = build_chunk_arrays(table, M, u, granule)
     return None if arrs is None else ChunkPlan(in_idx=arrs[0],
                                                lidx=arrs[1],
-                                               granule=granule)
+                                               granule=granule,
+                                               tmask=tile_mask(arrs[1]))
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,

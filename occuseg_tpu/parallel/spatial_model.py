@@ -61,19 +61,21 @@ def _chunk_stack(maps: np.ndarray, U: int):
     """Per-shard chunk plans for a stacked [D, rows, K] map; None if any
     shard overflows (or rows aren't M-aligned)."""
     from occuseg_tpu.ops.pallas.chunk_conv import ChunkPlan, \
-        build_chunk_arrays
+        build_chunk_arrays, tile_mask
 
     D = maps.shape[0]
     if maps.shape[1] % _CHUNK_M != 0:
         return None
-    ins, lids = [], []
+    ins, lids, tms = [], [], []
     for d in range(D):
         arrs = build_chunk_arrays(np.asarray(maps[d]), _CHUNK_M, U)
         if arrs is None:
             return None
         ins.append(arrs[0])
         lids.append(arrs[1])
-    return ChunkPlan(in_idx=np.stack(ins), lidx=np.stack(lids))
+        tms.append(tile_mask(arrs[1]))
+    return ChunkPlan(in_idx=np.stack(ins), lidx=np.stack(lids),
+                     tmask=np.stack(tms))
 
 
 def build_spatial_topology(plan, num_shards: int, halo: int = 512,

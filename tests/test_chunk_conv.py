@@ -412,3 +412,81 @@ def test_fused_bwd_v2_kgrouped_matches_xla(monkeypatch):
         np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_r),
                                    rtol=1e-4, atol=1e-4)
     cc._make_sub_conv.cache_clear()
+
+
+def test_tile_skip_matches_untiled(monkeypatch):
+    """Tiled (tmask) kernels == untiled, values AND grads, for the
+    submanifold VJP (fwd / fused-bwd / separate-dW) — the mask only skips
+    provably-zero one-hot column tiles, so results are bit-identical."""
+    from occuseg_tpu.ops.pallas.chunk_conv import tile_mask
+
+    monkeypatch.setenv("OCC_TILE_SKIP", "1")
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    tm = tile_mask(lidx)
+    assert tm.shape == (CAP // M, K)
+    # the mask must be sparse for the test to mean anything
+    n_t = -(-U // 128)
+    assert (np.unpackbits(tm.astype(np.uint8)).sum()
+            < 0.9 * tm.size * n_t)
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((CAP, 8)), jnp.float32)
+
+    def loss(f, ww, mask):
+        o = chunk_gather_conv(f, jnp.asarray(in_idx), jnp.asarray(lidx),
+                              ww, tmask=mask)
+        return jnp.sum((o - tgt) ** 2), o
+
+    (l_t, o_t), (gf_t, gw_t) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(feats, w, jnp.asarray(tm))
+    (l_u, o_u), (gf_u, gw_u) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(feats, w, None)
+    np.testing.assert_array_equal(np.asarray(o_t), np.asarray(o_u))
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_u),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_tile_skip_transition_matches(monkeypatch):
+    """Tiled general-form (transition) kernels == untiled, incl. grads."""
+    from occuseg_tpu.ops.pallas.chunk_conv import (
+        chunk_gather_conv_t, tile_mask,
+    )
+
+    monkeypatch.setenv("OCC_TILE_SKIP", "1")
+
+    plan = _real_plan()
+    tr = plan.transitions[0]
+    child, up = np.asarray(tr.child), np.asarray(tr.up)
+    Mc, Uc = 64, 320
+    Mu, Uu = 64, 160
+    ca = build_chunk_arrays(child, Mc, Uc)
+    ua = build_chunk_arrays(up, Mu, Uu)
+    assert ca is not None and ua is not None
+    ci, cl = map(jnp.asarray, ca)
+    ui, ul = map(jnp.asarray, ua)
+    ctm, utm = jnp.asarray(tile_mask(ca[1])), jnp.asarray(tile_mask(ua[1]))
+    rng = np.random.default_rng(12)
+    feats = jnp.asarray(rng.standard_normal((child.shape[0], 16)),
+                        jnp.float32)
+    w = jnp.asarray(rng.standard_normal((child.shape[1], 16, 8)) * 0.1,
+                    jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((child.shape[0], 8)), jnp.float32)
+
+    def loss(f, ww, masks):
+        o = chunk_gather_conv_t(f, ci, cl, ui, ul, ww,
+                                tmask=masks[0] if masks else None,
+                                t_tmask=masks[1] if masks else None)
+        return jnp.sum((o - tgt) ** 2)
+
+    gf_t, gw_t = jax.grad(loss, argnums=(0, 1))(feats, w, (ctm, utm))
+    gf_u, gw_u = jax.grad(loss, argnums=(0, 1))(feats, w, None)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_u),
+                               rtol=1e-6, atol=1e-6)
