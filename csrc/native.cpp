@@ -342,10 +342,14 @@ int32_t plan_downsample(const int64_t* fine_keys, const int32_t* fine_coords,
 // in_idx [C, U] (-1 pad) and chunk-local indices lidx [C, K, M]
 // (-1 missing). The GPU analog is the per-chunk input-address dedup of
 // the reference's chunk rulebooks (SubmanifoldRules_cuda.cpp:274+,
-// MAX_INPUT_ADDRESS). Returns the max unique count over chunks; if it
-// exceeds U the arrays are invalid and the caller falls back.
+// MAX_INPUT_ADDRESS). tmask [C, K] (int32, may be null) collects the
+// one-hot TILE-SKIP bitmask: bit t set iff offset k references a staged
+// slot in column tile [t*tile, (t+1)*tile) — see chunk_conv.TILE.
+// Returns the max unique count over chunks; if it exceeds U the arrays
+// are invalid and the caller falls back.
 int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
-                    int32_t U, int32_t* in_idx, int32_t* lidx) {
+                    int32_t U, int32_t* in_idx, int32_t* lidx,
+                    int32_t* tmask, int32_t tile) {
   const int32_t C = cap / M;
   int32_t max_uniq = 0;
 #pragma omp parallel
@@ -367,6 +371,9 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
       int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
       for (int32_t j = 0; j < U; ++j) ii[j] = j < u ? refs[j] : -1;
       int32_t* ld = lidx + static_cast<int64_t>(c) * K * M;
+      int32_t* tm = tmask ? tmask + static_cast<int64_t>(c) * K : nullptr;
+      if (tm)
+        for (int32_t k = 0; k < K; ++k) tm[k] = 0;
       for (int32_t m = 0; m < M; ++m) {
         for (int32_t k = 0; k < K; ++k) {
           const int32_t r = rows[m * K + k];
@@ -375,6 +382,7 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
             pos = static_cast<int32_t>(
                 std::lower_bound(refs.begin(), refs.end(), r) -
                 refs.begin());
+            if (tm) tm[k] |= int32_t{1} << (pos / tile);
           }
           ld[k * M + m] = pos;  // [K, M] layout
         }

@@ -56,7 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_chunks.restype = ctypes.c_int32
         lib.plan_chunks.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                     ctypes.c_int32, ctypes.c_int32,
-                                    i32p, i32p]
+                                    i32p, i32p, i32p, ctypes.c_int32]
         _lib = lib
     except Exception:
         _lib = None
@@ -97,12 +97,13 @@ def voxelize_points_native(coords: np.ndarray) -> Optional[np.ndarray]:
     return out
 
 
-def plan_chunks_native(nbr: np.ndarray, M: int, U: int):
+def plan_chunks_native(nbr: np.ndarray, M: int, U: int, tile: int = 0):
     """Chunk rulebook via C++ (csrc/native.cpp::plan_chunks).
 
     Returns None when the library is unavailable (caller uses NumPy),
     (None, max_uniq) on chunk overflow (> U unique refs), else
-    (in_idx [C,U] int32, lidx [C,K,M] int32)."""
+    (in_idx [C,U] int32, lidx [C,K,M] int32) — plus tmask [C,K] int32
+    (the tile-skip bitmask) when `tile` > 0."""
     lib = _load()
     if lib is None:
         return None
@@ -111,10 +112,12 @@ def plan_chunks_native(nbr: np.ndarray, M: int, U: int):
     C = cap // M
     in_idx = np.empty((C, U), np.int32)
     lidx = np.empty((C, K, M), np.int32)
+    tmask = np.empty((C, K), np.int32) if tile else None
     i32p = ctypes.POINTER(ctypes.c_int32)
     max_uniq = lib.plan_chunks(
         nbr.ctypes.data_as(i32p), cap, K, M, U,
-        in_idx.ctypes.data_as(i32p), lidx.ctypes.data_as(i32p))
+        in_idx.ctypes.data_as(i32p), lidx.ctypes.data_as(i32p),
+        tmask.ctypes.data_as(i32p) if tile else None, tile)
     if max_uniq > U:
         return (None, max_uniq)
-    return in_idx, lidx
+    return (in_idx, lidx, tmask) if tile else (in_idx, lidx)

@@ -881,21 +881,24 @@ def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
 # ---------------------------------------------------------------------------
 
 def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
-                       U: int = DEFAULT_U, granule: int = 1
-                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+                       U: int = DEFAULT_U, granule: int = 1,
+                       with_mask: bool = False
+                       ) -> Optional[Tuple[np.ndarray, ...]]:
     """Per-chunk deduped input lists + local indices for a neighbor map.
 
     nbr [cap, K] int32 (-1 missing, pad rows all -1). Returns
-    (in_idx [C, U] int32, lidx [C, K, M] int32) or None if any chunk
-    references more than U unique rows (caller falls back to the XLA path).
-    The GPU analog is the chunk input-address dedup of
+    (in_idx [C, U] int32, lidx [C, K, M] int32) — plus the tile-skip
+    bitmask tmask [C, K] int32 when `with_mask` — or None if any chunk
+    references more than U unique rows (caller falls back to the XLA
+    path). The GPU analog is the chunk input-address dedup of
     `SubmanifoldRules_cuda.cpp:274+` with its MAX_INPUT_ADDRESS cap.
 
     Uses the C++ host runtime when available (OpenMP over chunks,
-    `csrc/native.cpp::plan_chunks`); else a vectorized NumPy path (one
-    row-wise sort + one searchsorted over the level) — the naive per-chunk
-    python loop cost ~3s/batch at production caps, which would out-run the
-    0.3s device step it feeds.
+    `csrc/native.cpp::plan_chunks`, which emits the mask in the same
+    pass); else a vectorized NumPy path (one row-wise sort + one
+    searchsorted over the level) — the naive per-chunk python loop cost
+    ~3s/batch at production caps, which would out-run the 0.3s device
+    step it feeds.
     """
     cap, K = nbr.shape
     if cap % M != 0:
@@ -904,7 +907,8 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
 
     if granule == 1:
         from occuseg_tpu.native import plan_chunks_native
-        native = plan_chunks_native(nbr, M, U)
+        native = plan_chunks_native(nbr, M, U, tile=TILE if with_mask
+                                    else 0)
         if native is not None:
             return native if native[0] is not None else None
 
@@ -943,7 +947,10 @@ def build_chunk_arrays(nbr: np.ndarray, M: int = DEFAULT_M,
         local = local + np.where(nbr >= 0, nbr & (granule - 1),
                                  0).reshape(C, M, K)
     lidx = np.where(valid, local, -1).astype(np.int32)
-    return in_idx, np.ascontiguousarray(lidx.transpose(0, 2, 1))
+    lidx_km = np.ascontiguousarray(lidx.transpose(0, 2, 1))
+    if with_mask:
+        return in_idx, lidx_km, tile_mask(lidx_km)
+    return in_idx, lidx_km
 
 
 def tile_mask(lidx: np.ndarray) -> np.ndarray:
@@ -960,11 +967,12 @@ def tile_mask(lidx: np.ndarray) -> np.ndarray:
 def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
     if table.shape[0] % M != 0:
         return None
-    arrs = build_chunk_arrays(table, M, u, granule)
-    return None if arrs is None else ChunkPlan(in_idx=arrs[0],
-                                               lidx=arrs[1],
-                                               granule=granule,
-                                               tmask=tile_mask(arrs[1]))
+    arrs = build_chunk_arrays(table, M, u, granule, with_mask=True)
+    if arrs is None:
+        return None
+    tm = arrs[2] if len(arrs) > 2 else tile_mask(arrs[1])
+    return ChunkPlan(in_idx=arrs[0], lidx=arrs[1], granule=granule,
+                     tmask=tm)
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
