@@ -68,12 +68,13 @@ def _chunk_stack(maps: np.ndarray, U: int):
         return None
     ins, lids, tms = [], [], []
     for d in range(D):
-        arrs = build_chunk_arrays(np.asarray(maps[d]), _CHUNK_M, U)
+        arrs = build_chunk_arrays(np.asarray(maps[d]), _CHUNK_M, U,
+                                  with_mask=True)
         if arrs is None:
             return None
         ins.append(arrs[0])
         lids.append(arrs[1])
-        tms.append(tile_mask(arrs[1]))
+        tms.append(arrs[2] if len(arrs) > 2 else tile_mask(arrs[1]))
     return ChunkPlan(in_idx=np.stack(ins), lidx=np.stack(lids),
                      tmask=np.stack(tms))
 
