@@ -100,3 +100,25 @@ def test_host_plan_unsupported_spec_returns_none():
                    1, 1024, 8, seed=1)
     assert build_plan_host(
         b["coords"], PlanSpec(caps=(512,), dilation=2, nn_search=True)) is None
+
+
+def test_native_tile_mask_matches_numpy():
+    """plan_chunks' in-loop tmask == the NumPy tile_mask post-pass."""
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native import plan_chunks_native
+    from occuseg_tpu.native.plan import build_plan_host
+    from occuseg_tpu.ops.pallas.chunk_conv import TILE, tile_mask
+
+    b = make_batch(SceneConfig(num_points=1500, extent=48, num_objects=5),
+                   1, 2048, 8, seed=2)
+    plan = build_plan_host(b["coords"], PlanSpec(caps=(512, 256)))
+    assert plan is not None
+    nbr = np.asarray(plan.levels[0].nbr)
+    out = plan_chunks_native(nbr, 64, 192, tile=TILE)
+    assert out is not None and out[0] is not None, "native planner required"
+    in_idx, lidx, tm = out
+    np.testing.assert_array_equal(tm, tile_mask(lidx))
+    # every valid lidx slot is covered by a set bit; no spurious bits
+    nt = -(-192 // TILE)
+    assert tm.max() < (1 << nt)
