@@ -46,31 +46,31 @@ CAPS = tuple(c * NUM_SCENES
 N_PLANES = (64, 128, 192, 256, 320, 384)
 
 
-def main() -> None:
+def _prepare(seed: int):
+    """Build the synthetic batch + host plan (+chunk rulebooks, point
+    layout) for one scene seed. Shapes are cap-static, so every seed reuses
+    the same jitted executables (a looser U tier adds at most one compile
+    per tier)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from occuseg_tpu.core.topology import PlanSpec, build_plan
     from occuseg_tpu.data.synthetic import SceneConfig, make_batch
-    from occuseg_tpu.losses.instance import semantic_cross_entropy
-    from occuseg_tpu.models.occuseg import _Backbone
     from occuseg_tpu.native.plan import build_plan_host
-
-    import flax.linen as nn
 
     spec = PlanSpec(caps=CAPS)
     scene = SceneConfig(num_points=200_000, extent=512, num_objects=24)
     batch = make_batch(scene, num_scenes=NUM_SCENES, p_cap=P_CAP,
-                       num_instances=64, seed=0)
+                       num_instances=64, seed=seed)
 
     t0 = time.perf_counter()
     host_plan = build_plan_host(batch["coords"], spec)
+    tier = 1.0
     if host_plan is not None:
         # chunk rulebooks for the fused Pallas conv kernel; geometry
         # overridable for sweeps (OCC_CHUNK_M=128 OCC_CHUNK_U=240,320,...)
         import os
-        from occuseg_tpu.ops.pallas.chunk_conv import augment_plan_with_chunks
+        from occuseg_tpu.ops.pallas import chunk_conv
         m_env = int(os.environ.get("OCC_CHUNK_M", 0) or 0)
         u_env = os.environ.get("OCC_CHUNK_U")
         kw = {}
@@ -83,9 +83,11 @@ def main() -> None:
             kw["granule"] = g_env
         if NUM_SCENES > 1:
             kw["u_bump"] = 32
-        host_plan = augment_plan_with_chunks(host_plan, **kw)
+        host_plan = chunk_conv.augment_plan_with_chunks(host_plan, **kw)
+        tier = chunk_conv.LAST_TIER
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
-        print(f"chunked levels: {n_chunked}/{len(host_plan.levels)}",
+        print(f"seed {seed}: chunked levels "
+              f"{n_chunked}/{len(host_plan.levels)}, U tier {tier:.2f}",
               file=sys.stderr)
         # sorted point layout: scatter-free voxelize/devoxelize kernels
         from occuseg_tpu.core.point_layout import (
@@ -94,16 +96,35 @@ def main() -> None:
         host_plan = augment_plan_with_point_layout(host_plan)
         batch = apply_point_layout(batch, host_plan,
                                    num_scenes=NUM_SCENES)
-        print(f"point layout: {host_plan.vox_seg is not None}",
-              file=sys.stderr)
     t_plan = time.perf_counter() - t0
     if host_plan is None:  # no C++ toolchain: build on device
         host_plan = jax.jit(
             lambda c: build_plan(c, spec))(jnp.asarray(batch["coords"]))
     plan = jax.tree.map(jnp.asarray, host_plan)
     num_voxels = int(plan.levels[0].num_active)
-    print(f"host plan build: {t_plan * 1e3:.1f} ms, "
+    print(f"seed {seed}: host plan build {t_plan * 1e3:.1f} ms, "
           f"{num_voxels} active voxels", file=sys.stderr)
+    return batch, plan, num_voxels, tier
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.losses.instance import semantic_cross_entropy
+    from occuseg_tpu.models.occuseg import _Backbone
+
+    import flax.linen as nn
+
+    spec = PlanSpec(caps=CAPS)
+    # OCC_SEEDS="0,1,2,3,4,5" sweeps scene seeds through the SAME jitted
+    # step (headline metrics always from the first seed); proves the chunk-U
+    # tables + tier escalation hold off-tuning-scene (VERDICT r3 task 2).
+    seeds = [int(s) for s in
+             _os.environ.get("OCC_SEEDS", "0").split(",") if s.strip()]
+    batch, plan, num_voxels, _ = _prepare(seeds[0])
 
     class SemModel(nn.Module):
         @nn.compact
@@ -147,6 +168,36 @@ def main() -> None:
     print(f"fwd+bwd step: {dt * 1e3:.1f} ms", file=sys.stderr)
 
     voxels_per_sec = num_voxels / dt
+
+    if len(seeds) > 1:
+        # seed sweep: same jitted step, fresh scene+plan per seed. The
+        # batch_stats carry chains iterations (tunnel dedup trap, CLAUDE.md)
+        sweep = {seeds[0]: round(voxels_per_sec, 1)}
+        tiers_used = {}
+        for seed in seeds[1:]:
+            b, p, nv, tier = _prepare(seed)
+            f, lb = jnp.asarray(b["features"]), jnp.asarray(b["labels"])
+            bs = batch_stats
+            _, bs, g = fwd_bwd(params, bs, f, p, lb)  # warmup/compile
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                _, bs, g = fwd_bwd(params, bs, f, p, lb)
+            jax.block_until_ready(g)
+            dts = (time.perf_counter() - t0) / 5
+            sweep[seed] = round(nv / dts, 1)
+            tiers_used[seed] = tier
+            print(f"seed {seed}: fwd+bwd {dts * 1e3:.1f} ms "
+                  f"({nv / dts:,.0f} voxels/s)", file=sys.stderr)
+        vals = list(sweep.values())
+        print(json.dumps({
+            "metric": "unet_m64_seed_sweep_min_over_max",
+            "value": round(min(vals) / max(vals), 3),
+            "unit": "ratio",
+            "per_seed_voxels_per_sec": sweep,
+            "u_tiers": tiers_used,
+            "vs_baseline": round(min(vals) / GV100_EST_VOXELS_PER_SEC, 3),
+        }))
 
     # ---- secondary line: the FULL flagship training step (the reference
     # workload: LearningBWDenseUNet + 6-term loss + Adam update), so the

@@ -3,7 +3,10 @@
 Reference: `occupancy_aware_region_based_cross_modal_meanshift_clustering`
 (`evaluate_instance.py:485-645`), a Python while-loop over GPU tensors.
 Rebuilt as one `lax.while_loop` over region-level arrays (R ~ 1-3k per
-scene), with the 10-iteration mean-shift inner loop as `lax.fori_loop`:
+scene), with the mean-shift inner loop (1 seeded iteration + 10
+refinements, early-exit at shift < 1e-5 emulated by freezing the carry)
+as `lax.fori_loop`. Assignment parity vs a NumPy port of the reference
+loop is pinned by `tests/test_cluster_parity.py` / `tests/cluster_oracle.py`:
 
   repeat until no seeds left (or 300 instances):
     seed   = argmax remaining region offset               (:542)
@@ -40,7 +43,7 @@ def _cross_modal_prob(emb, pose, c_emb, c_pose, b1, b2):
 def meanshift_cluster(regions: RegionFeatures,
                       bw_relax_factor: float = 1.0,
                       max_instances: int = 300,
-                      ms_iters: int = 10,
+                      ms_iters: int = 11,
                       foreground_class_threshold: int = 2
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (region_instance [R] int32 with -1 = background/none,
@@ -63,30 +66,38 @@ def meanshift_cluster(regions: RegionFeatures,
         c = feat[seed]
         b = bw[seed] * bw_relax_factor
 
-        def ms_body(_, carry):
-            c, b, flag = carry
+        def ms_body(i, carry):
+            c, b, flag, done = carry
             prob = _cross_modal_prob(emb, pose, c[: emb.shape[1]],
                                      c[emb.shape[1]:], b[0], b[1])
-            flag = (prob > 0.5) & background
+            new_flag = (prob > 0.5) & background
             d = jnp.sqrt(jnp.sum((feat - c) ** 2, axis=1) + 1e-12)
             bm = jnp.mean(b)
             w = jnp.exp(-0.5 * (d / jnp.maximum(bm, 1e-8)) ** 2) \
                 / (jnp.maximum(bm, 1e-8) * jnp.sqrt(2 * jnp.pi))
-            w = jnp.where(flag, w * cnt, 0.0)
+            w = jnp.where(new_flag, w * cnt, 0.0)
             wsum = jnp.maximum(jnp.sum(w), 1e-12)
             new_c = jnp.sum(feat * w[:, None], axis=0) / wsum
-            nflag = jnp.maximum(jnp.sum(flag.astype(jnp.float32)), 1.0)
-            new_b = (jnp.sum(jnp.where(flag[:, None], bw, 0), axis=0)
+            nflag = jnp.maximum(jnp.sum(new_flag.astype(jnp.float32)), 1.0)
+            new_b = (jnp.sum(jnp.where(new_flag[:, None], bw, 0), axis=0)
                      / nflag) * bw_relax_factor
             # keep old centroid if nothing was flagged (degenerate seed)
-            any_flag = jnp.any(flag)
+            any_flag = jnp.any(new_flag)
             new_c = jnp.where(any_flag, new_c, c)
             new_b = jnp.where(any_flag, new_b, b)
-            return new_c, new_b, flag
+            # reference break (:563-565): stop refining once the shift is
+            # < 1e-5. The first (seeded) iteration has no break check
+            # (:545-551 runs before the `for k in range(10)` loop), hence
+            # the i > 0 guard. Freezing the carry == the reference's break.
+            shift = jnp.sqrt(jnp.sum((c - new_c) ** 2))
+            new_done = done | ((i > 0) & (shift < 1e-5))
+            keep = lambda old, new: jnp.where(done, old, new)
+            return (keep(c, new_c), keep(b, new_b), keep(flag, new_flag),
+                    new_done)
 
-        c, b, flag = jax.lax.fori_loop(
+        c, b, flag, _ = jax.lax.fori_loop(
             0, ms_iters, ms_body,
-            (c, b, jnp.zeros((R,), bool)))
+            (c, b, jnp.zeros((R,), bool), jnp.bool_(False)))
         new_labels = jnp.where(flag, count, labels)
         new_background = background & ~flag
         new_offsets = jnp.where(flag, 0.0, offsets)

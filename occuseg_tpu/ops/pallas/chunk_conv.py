@@ -998,13 +998,27 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     before giving up — a whole-plan tier so the jitted step sees at most
     len(tiers) static shape variants (jit caches one executable each),
     instead of falling off the ~29x XLA-path cliff."""
+    global LAST_TIER
+    import logging
+    logger = logging.getLogger("occuseg_tpu")
     for f in tiers[:-1]:
         out = _augment_once(plan, M, U, U_child, U_up, granule, u_bump, f,
                             warn=False)
         if out is not None:
+            LAST_TIER = f
+            if f != 1.0:
+                logger.info("chunk plan used U tier %.2f", f)
             return out
-    return _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
-                         tiers[-1], warn=True)
+    out = _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
+                        tiers[-1], warn=True)
+    LAST_TIER = tiers[-1]
+    logger.info("chunk plan used U tier %.2f (last)", tiers[-1])
+    return out
+
+
+# Tier factor chosen by the most recent augment_plan_with_chunks call —
+# diagnostics only (bench/seed-sweep reporting), never read by compute.
+LAST_TIER: float = 1.0
 
 
 def _scale_u(u, f):
