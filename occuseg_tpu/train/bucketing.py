@@ -62,13 +62,14 @@ def pick_bucket(specs: Sequence[PlanSpec], coords: np.ndarray,
     return len(specs) - 1
 
 
-def plan_for_batch(specs: Sequence[PlanSpec], coords: np.ndarray):
+def plan_for_batch(specs: Sequence[PlanSpec], coords: np.ndarray,
+                   normals: Optional[np.ndarray] = None):
     """(bucket_index, host_plan) with overflow retry into bigger buckets."""
     from occuseg_tpu.native.plan import build_plan_host
 
     i = pick_bucket(specs, coords)
     while True:
-        plan = build_plan_host(coords, specs[i])
+        plan = build_plan_host(coords, specs[i], normals)
         if plan is None:
             return i, None
         overflow = any(int(l.num_active) >= l.keys.shape[0]

@@ -126,7 +126,9 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
             for b in batches:
                 if bucket_specs_list is not None:
                     from occuseg_tpu.train.bucketing import plan_for_batch
-                    bi, plan = plan_for_batch(bucket_specs_list, b["coords"])
+                    bi, plan = plan_for_batch(
+                        bucket_specs_list, b["coords"],
+                        b.get("normals") if use_normals else None)
                 else:
                     bi, plan = 0, build_plan_host(
                         b["coords"], spec,
@@ -349,7 +351,11 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             residual_blocks=config.get("residual_blocks", True),
             num_classes=config.get("class_num", 20)))
         step_fns = None
-        buckets = None  # bucketed caps and spatial splits don't compose yet
+        # buckets compose with spatial sharding: the prefetcher picks the
+        # bucket BEFORE prepare_shard_args (plan_prefetcher worker order),
+        # and the spatial step takes shard args as data, so the single jit
+        # retraces once per bucket's shard-arg shapes — no per-bucket
+        # closures needed
         n_dev = 1  # batches flow through the single-stream prefetcher
     elif n_dev > 1:
         mesh = make_mesh(n_dev)

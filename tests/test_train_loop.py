@@ -101,6 +101,57 @@ def test_train_resume_from_checkpoint(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_bucket_selection_under_spatial_prefetch():
+    """Buckets compose with spatial sharding (VERDICT r3 task 6): the
+    prefetcher picks the cap bucket FIRST, then builds the shard topology
+    from the bucketed plan — small batches get the small bucket and a
+    proportionally smaller per-shard voxel capacity."""
+    import pytest
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native import have_native
+    from occuseg_tpu.train.bucketing import bucket_specs
+    from occuseg_tpu.train.loop import plan_prefetcher
+    if not have_native():
+        pytest.skip("needs the C++ host plan builder")
+
+    specs = bucket_specs(8192, 3, num_buckets=2)
+    small = make_batch(SceneConfig(num_points=600, extent=24,
+                                   num_objects=3), 1, 8192, 16, seed=0)
+    large = make_batch(SceneConfig(num_points=7000, extent=100,
+                                   num_objects=10), 1, 8192, 16, seed=1)
+    out = list(plan_prefetcher(
+        [small, large], specs[-1], bucket_specs_list=specs,
+        spatial=dict(shards=4, halo=256, pool=256)))
+    (_, sa_small, bi_small), (_, sa_large, bi_large) = out
+    assert bi_small == 0 and bi_large == 1  # selection works sharded
+    k_small = sa_small["splan"].levels[0].keys.shape
+    k_large = sa_large["splan"].levels[0].keys.shape
+    assert k_small[0] == k_large[0] == 4  # stacked shard axis
+    assert k_small[1] < k_large[1]  # shard topology sized by the bucket
+
+
+def test_train_loop_spatial_with_buckets(tmp_path):
+    """--num_buckets and --spatial_shards together: the single jitted
+    spatial step retraces once per bucket's shard-arg shapes (numeric
+    equality of the sharded step to the unsharded one is pinned by
+    tests/test_spatial_model.py::test_spatial_train_step_matches_unsharded_step,
+    which the bucket path reuses with different caps)."""
+    args = get_parser().parse_args([
+        "--m", "8", "--batch_size", "1", "--scale", "50",
+        "--residual_blocks", "--use_dense_model", "--max_epoch", "1",
+        "--point_cap", "8192", "--voxel_cap", "8192",
+        "--instance_cap", "16", "--spatial_shards", "4",
+        "--spatial_halo", "512", "--spatial_pool", "512",
+        "--num_buckets", "2",
+        "--checkpoints_dir", str(tmp_path),
+        "--data_dir", str(tmp_path / "nodata"),
+    ])
+    config = args_to_config(args)
+    config["unet_structure"] = [8, 16, 24]
+    result = train(config, max_steps=2)
+    assert result["steps"] == 2
+
+
 def test_train_loop_dp_with_buckets(tmp_path):
     """Buckets compose with DP (VERDICT r1 weak #7): per-GROUP bucket
     choice, one jitted DP step per bucket."""
