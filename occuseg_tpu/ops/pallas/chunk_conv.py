@@ -162,18 +162,21 @@ def _lane_pack(cin: int, U: int) -> int:
     return 1
 
 
-def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None):
+def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
+             tm_kg=0):
     """Stage G offsets' gathered rows into g_scratch [M, G*cin] via one-hot
     MXU products (lidx == -1 rows come out zero for free).
     lidx_ref block is [1, 1, G, M] (4D so the G dim can be non-8-aligned);
     gin_ref block is [1, U/r, r*cin] (see _lane_pack).
 
-    With tm_ref (SMEM [1, 1, G] int32 per-offset tile bitmasks, see TILE)
-    the product decomposes into TILE-wide column tiles and unreferenced
-    tiles are skipped — each output row comes from exactly ONE slot (the
-    one-hot has a single 1 per row over the FULL U), so skipped tiles
-    contribute exact zeros and the per-tile accumulation is bit-identical
-    to the single [M, U] product."""
+    With tm_ref (SMEM [1, n_kg, G] int32 per-offset tile bitmasks, see
+    TILE; the FULL k-group axis rides in the block because Mosaic requires
+    the last two block dims to equal the array dims when unaligned —
+    `tm_kg` selects the grid's current k-group) the product decomposes
+    into TILE-wide column tiles and unreferenced tiles are skipped — each
+    output row comes from exactly ONE slot (the one-hot has a single 1 per
+    row over the FULL U), so skipped tiles contribute exact zeros and the
+    per-tile accumulation is bit-identical to the single [M, U] product."""
     G, M = lidx_ref.shape[2], lidx_ref.shape[3]
     Ur, Cr = gin_ref.shape[1], gin_ref.shape[2]
     r = Cr // cin
@@ -182,7 +185,7 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None):
         assert r == 1, "tile skipping assumes unpacked lanes"
         for k in range(G):
             l = lidx_ref[0, 0, k, :]
-            bits = tm_ref[0, 0, k]
+            bits = tm_ref[0, tm_kg, k]
             ks = slice(k * cin, (k + 1) * cin)
             g_scratch[:, ks] = jnp.zeros((M, cin), g_scratch.dtype)
             for t in range(-(-Ur // TILE)):
@@ -239,11 +242,11 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False):
             # single k-group: the staged G is valid for every Cout block
             @pl.when(nz & (pl.program_id(1) == 0))
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
         else:
             @pl.when(nz)
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
 
         @pl.when(nz)
         def _():
@@ -396,7 +399,7 @@ def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int,
 
         @pl.when(nz)
         def _():
-            _build_g(lidx_ref, gct_ref, g_scratch, ct, tm_ref)
+            _build_g(lidx_ref, gct_ref, g_scratch, ct, tm_ref, kg)
             acc[:] += jax.lax.dot_general(
                 g_scratch[:], wt_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -445,7 +448,7 @@ def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
     nz = _chunk_nonempty(t_lidx, C, n_kg, G, M)
     tiled = tmask is not None
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
-    tm_spec = [pl.BlockSpec((1, 1, G), lambda c, kg: (c, kg, 0),
+    tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
     nz, t_lidx, gct, w_t, feats_c, *tm = _match_vma(nz, t_lidx, gct, w_t,
                                                     feats_c, *tm)
@@ -491,6 +494,9 @@ def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False):
         tm_ref = args[0] if tiled else None
         lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch = args[tiled:]
         c = pl.program_id(2)
+        # read at top level: program_id under a pl.when cond jaxpr is not
+        # substituted by the interpret-mode evaluator
+        kg = pl.program_id(0)
 
         @pl.when(c == 0)
         def _():
@@ -498,7 +504,7 @@ def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False):
 
         @pl.when(nz_ref[0, 0, 0] > 0)
         def _():
-            _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref)
+            _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
             dw_ref[:] += jax.lax.dot_general(
                 g_scratch[:], ct_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -529,7 +535,7 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
     nz = _chunk_nonempty(lidx, C, n_kg, G, M)
     tiled = tmask is not None and r == 1
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
-    tm_spec = [pl.BlockSpec((1, 1, G), lambda c, co, kg: (c, kg, 0),
+    tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, co, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
     nz, lidx, gin, w_flat, *tm = _match_vma(nz, lidx, gin, w_flat, *tm)
     return pl.pallas_call(
@@ -568,7 +574,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
     nz = _chunk_nonempty(lidx, C, K // G, G, M)
     tiled = tmask is not None and r == 1
     tm = (tmask.reshape(C, K // G, G),) if tiled else ()
-    tm_spec = [pl.BlockSpec((1, 1, G), lambda kg, co, c: (c, kg, 0),
+    tm_spec = [pl.BlockSpec((1, K // G, G), lambda kg, co, c: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
     nz, lidx, gin, ct_c, *tm = _match_vma(nz, lidx, gin, ct_c, *tm)
     return pl.pallas_call(
