@@ -20,6 +20,9 @@
 #include <numeric>
 #include <unordered_map>
 #include <vector>
+#ifdef _OPENMP
+#include <parallel/algorithm>
+#endif
 
 namespace {
 
@@ -224,6 +227,46 @@ inline int64_t morton_key(int32_t b, int32_t z, int32_t y, int32_t x) {
          spread3(x);
 }
 
+// Flat open-addressing key->row map (linear probing, 0.5 load factor).
+// The neighbor probe is the planner's hot loop (cap * 27 lookups); a
+// node-based unordered_map costs a pointer chase per find, this is one or
+// two contiguous cache lines. kKeyPad doubles as the empty sentinel — it is
+// never inserted (only rows < num_active, whose keys are real).
+struct FlatMap {
+  std::vector<int64_t> keys_;
+  std::vector<int32_t> vals_;
+  size_t mask_;
+
+  explicit FlatMap(int32_t n) {
+    size_t cap = 16;
+    while (cap < static_cast<size_t>(n) * 2) cap <<= 1;
+    keys_.assign(cap, kKeyPad);
+    vals_.resize(cap);
+    mask_ = cap - 1;
+  }
+  static inline size_t hash(int64_t k) {
+    return static_cast<size_t>(
+        static_cast<uint64_t>(k) * 0x9E3779B97F4A7C15ull >> 17);
+  }
+  inline void insert(int64_t k, int32_t v) {
+    size_t i = hash(k) & mask_;
+    while (keys_[i] != kKeyPad) {
+      if (keys_[i] == k) return;  // keep the first row (sorted-unique keys)
+      i = (i + 1) & mask_;
+    }
+    keys_[i] = k;
+    vals_[i] = v;
+  }
+  inline int32_t find(int64_t k) const {
+    size_t i = hash(k) & mask_;
+    while (true) {
+      if (keys_[i] == kKeyPad) return -1;
+      if (keys_[i] == k) return vals_[i];
+      i = (i + 1) & mask_;
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -234,12 +277,19 @@ extern "C" {
 int32_t plan_voxelize(const int32_t* coords, int32_t n, int32_t cap,
                       int64_t* out_keys, int32_t* out_coords, int32_t* p2v) {
   std::vector<std::pair<int64_t, int32_t>> items(n);
+#pragma omp parallel for schedule(static)
   for (int32_t i = 0; i < n; ++i) {
     items[i] = {morton_key(coords[i * 4], coords[i * 4 + 1],
                            coords[i * 4 + 2], coords[i * 4 + 3]),
                 i};
   }
+#ifdef _OPENMP
+  // (key, original index) pairs are a total order -> the parallel sort is
+  // bit-identical to std::sort
+  __gnu_parallel::sort(items.begin(), items.end());
+#else
   std::sort(items.begin(), items.end());
+#endif
   for (int32_t j = 0; j < cap; ++j) {
     out_keys[j] = kKeyPad;
     for (int d = 0; d < 4; ++d) out_coords[j * 4 + d] = -1;
@@ -273,23 +323,21 @@ int32_t plan_voxelize(const int32_t* coords, int32_t n, int32_t cap,
 void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
                        int32_t cap, int32_t num_active,
                        const int32_t* offsets, int32_t K, int32_t* out_nbr) {
-  std::unordered_map<int64_t, int32_t> table;
-  table.reserve(static_cast<size_t>(num_active) * 2);
-  for (int32_t r = 0; r < num_active; ++r) table.emplace(keys[r], r);
+  FlatMap table(num_active);
+  for (int32_t r = 0; r < num_active; ++r) table.insert(keys[r], r);
 #pragma omp parallel for schedule(static)
   for (int32_t r = 0; r < cap; ++r) {
     const int32_t b = level_coords[r * 4];
+    if (b < 0 || r >= num_active) {
+      for (int32_t k = 0; k < K; ++k) out_nbr[r * K + k] = -1;
+      continue;
+    }
     for (int32_t k = 0; k < K; ++k) {
-      int32_t v = -1;
-      if (b >= 0 && r < num_active) {
-        const int64_t q = morton_key(b,
-                                     level_coords[r * 4 + 1] + offsets[k * 3],
-                                     level_coords[r * 4 + 2] + offsets[k * 3 + 1],
-                                     level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
-        auto it = table.find(q);
-        if (it != table.end()) v = it->second;
-      }
-      out_nbr[r * K + k] = v;
+      const int64_t q = morton_key(b,
+                                   level_coords[r * 4 + 1] + offsets[k * 3],
+                                   level_coords[r * 4 + 2] + offsets[k * 3 + 1],
+                                   level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
+      out_nbr[r * K + k] = table.find(q);
     }
   }
 }
@@ -356,6 +404,19 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
   {
     std::vector<int32_t> refs;
     refs.reserve(static_cast<size_t>(M) * K);
+    // chunk-local row->position map: open addressing with generation
+    // stamps (no per-chunk clearing). Every queried row >= 0 is present
+    // by construction (it was pushed into refs), so probes always hit.
+    size_t hcap = 16;
+    while (hcap < static_cast<size_t>(U) * 2) hcap <<= 1;
+    const size_t hmask = hcap - 1;
+    std::vector<int32_t> hkey(hcap), hpos(hcap), hgen(hcap, -1);
+    int32_t gen = -1;
+    auto hslot = [&](int32_t r) {
+      return static_cast<size_t>(
+                 static_cast<uint64_t>(static_cast<uint32_t>(r)) *
+                 2654435761ull >> 12) & hmask;
+    };
     int32_t local_max = 0;
 #pragma omp for schedule(dynamic, 8)
     for (int32_t c = 0; c < C; ++c) {
@@ -368,6 +429,14 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
       const int32_t u = static_cast<int32_t>(refs.size());
       local_max = std::max(local_max, u);
       if (u > U) continue;
+      ++gen;
+      for (int32_t j = 0; j < u; ++j) {
+        size_t i = hslot(refs[j]);
+        while (hgen[i] == gen) i = (i + 1) & hmask;
+        hgen[i] = gen;
+        hkey[i] = refs[j];
+        hpos[i] = j;
+      }
       int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
       for (int32_t j = 0; j < U; ++j) ii[j] = j < u ? refs[j] : -1;
       int32_t* ld = lidx + static_cast<int64_t>(c) * K * M;
@@ -379,9 +448,9 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
           const int32_t r = rows[m * K + k];
           int32_t pos = -1;
           if (r >= 0) {
-            pos = static_cast<int32_t>(
-                std::lower_bound(refs.begin(), refs.end(), r) -
-                refs.begin());
+            size_t i = hslot(r);
+            while (hgen[i] != gen || hkey[i] != r) i = (i + 1) & hmask;
+            pos = hpos[i];
             if (tm) tm[k] |= int32_t{1} << (pos / tile);
           }
           ld[k * M + m] = pos;  // [K, M] layout
