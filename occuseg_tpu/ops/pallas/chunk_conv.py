@@ -65,6 +65,14 @@ DEFAULT_U = 416
 # 73/50/51/58/65/54% for L0..L5 (exp_r3_o) — a direct cut of the dominant
 # one-hot FLOP term. 128 = MXU contraction width; narrower tiles save no
 # time (the MXU pads the contraction dim to 128).
+#
+# MEASURED NEGATIVE ON SILICON (round 4): OCC_TILE_SKIP=1 benched 349 ms
+# vs 179 ms backbone fwd+bwd (2x SLOWER) despite the real 27-46% skip
+# occupancy — splitting the single [M,U]@[U,Cin] MXU product into 2-3
+# conditional per-tile dots adds a zero-fill + accumulate pass through
+# g_scratch per offset and an SMEM-scalar branch per (offset, tile),
+# which costs far more than the skipped one-hot FLOPs. Kept switchable
+# (bit-exact CPU tests) for a future formulation; default stays OFF.
 TILE = 128
 
 
@@ -160,6 +168,19 @@ def _lane_pack(cin: int, U: int) -> int:
     # rotate per offset that outweighs the MXU lane gain. Disabled; the
     # machinery stays for a future transposed-product formulation.
     return 1
+
+
+def _tile_stack_ok(M: int, U: int, cin: int, G: int, esize: int) -> bool:
+    """Mosaic allocates each per-tile pl.when scope's one-hot temporaries
+    (i32 iota + one-hot + f32 product) on the scoped-vmem STACK without
+    reuse across scopes (measured on silicon: the [M=128, U=320, Cin=384,
+    G=27] tiled fwd kernel requested 20.16M of the 16M scoped limit).
+    Keep tiling only where the estimated stack fits with headroom — the
+    deep wide convs it excludes have the highest tile occupancy (least
+    skip win) anyway."""
+    n_tiles = -(-U // TILE)
+    per_scope = M * TILE * (4 + esize) + M * cin * 4
+    return G * n_tiles * per_scope <= 8 * 1024 * 1024
 
 
 def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
@@ -334,7 +355,9 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret,
     r = _lane_pack(Ct, U)
     gct = gct.reshape(C, U // r, r * Ct)
     nz = _chunk_nonempty(t_lidx, C, 1, K, M)
-    tiled = tmask is not None and r == 1
+    tiled = (tmask is not None and r == 1
+             and _tile_stack_ok(M, U, Ct, K,
+                                jnp.dtype(gct.dtype).itemsize))
     tm = (tmask.reshape(C, 1, K),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, 1, K), lambda c: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
@@ -446,7 +469,9 @@ def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
     n_kg = K // G
     t_lidx = t_lidx.reshape(C, n_kg, G, M)
     nz = _chunk_nonempty(t_lidx, C, n_kg, G, M)
-    tiled = tmask is not None
+    tiled = (tmask is not None
+             and _tile_stack_ok(M, U, Ct, G,
+                                jnp.dtype(gct.dtype).itemsize))
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
@@ -533,7 +558,8 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, n_kg, G, M)
-    tiled = tmask is not None and r == 1
+    tiled = (tmask is not None and r == 1
+             and _tile_stack_ok(M, U, Cin, G, esize))
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, co, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
@@ -572,7 +598,9 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
     r = _lane_pack(Cin, U)
     gin = gin.reshape(C, U // r, r * Cin)
     nz = _chunk_nonempty(lidx, C, K // G, G, M)
-    tiled = tmask is not None and r == 1
+    tiled = (tmask is not None and r == 1
+             and _tile_stack_ok(M, U, Cin, G,
+                                jnp.dtype(gin.dtype).itemsize))
     tm = (tmask.reshape(C, K // G, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, K // G, G), lambda kg, co, c: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
