@@ -87,7 +87,7 @@ def _prepare(seed: int):
         tier = chunk_conv.LAST_TIER
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
         print(f"seed {seed}: chunked levels "
-              f"{n_chunked}/{len(host_plan.levels)}, U tier {tier:.2f}",
+              f"{n_chunked}/{len(host_plan.levels)}, U tier {tier}",
               file=sys.stderr)
         # sorted point layout: scatter-free voxelize/devoxelize kernels
         from occuseg_tpu.core.point_layout import (

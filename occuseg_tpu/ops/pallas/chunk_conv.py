@@ -1026,46 +1026,91 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     shapes — it must come from these static tables, never from the batch at
     hand, or every batch recompiles.
 
-    `tiers`: scenes denser than the measured-maxima tables (the tables hug
-    ONE scene's chunk-halo stats; exp_r3_host_pool saw other seeds
-    overflow L0-L2) retry with ALL budgets scaled by the next tier factor
-    before giving up — a whole-plan tier so the jitted step sees at most
-    len(tiers) static shape variants (jit caches one executable each),
-    instead of falling off the ~29x XLA-path cliff."""
+    Escalation (dense scenes: the tables hug ONE scene's chunk-halo
+    maxima; exp_r3_host_pool saw other seeds overflow L0-L2):
+    1. PER-LEVEL: a submanifold level that overflows its budget retries
+       with ITS U scaled by 1.3, other levels untouched — the one-hot
+       FLOPs scale with U, so a whole-plan bump taxed dense seeds ~12%
+       while per-level escalation only pays where the scene is dense
+       (6-seed sweep: only L0-L2 ever overflow, one or two per seed).
+       Each distinct factor combo is one static shape set (jit caches
+       one executable each; in practice a handful).
+    2. `tiers` fallback when a TRANSITION overflows or per-level 1.3 is
+       not enough: uniform (or (f_sub, f_child, f_up) grouped) whole-plan
+       scale, last tier warns and leaves overflowing maps on the ~2.5x
+       XLA path rather than failing."""
     global LAST_TIER
     import logging
     logger = logging.getLogger("occuseg_tpu")
-    for f in tiers[:-1]:
-        out = _augment_once(plan, M, U, U_child, U_up, granule, u_bump, f,
-                            warn=False)
+
+    # per-level escalation over the submanifold tables
+    n_lvl = len(plan.levels)
+    factors = [1.0] * n_lvl
+    for _ in range(n_lvl + 1):
+        out, over_l, over_t = _augment_once(
+            plan, M, U, U_child, U_up, granule, u_bump,
+            (tuple(factors), 1.0, 1.0), warn=False)
         if out is not None:
-            LAST_TIER = f
-            if f != 1.0:
-                logger.info("chunk plan used U tier %.2f", f)
+            lbl = ",".join(f"L{li}x{f:.2f}" for li, f in enumerate(factors)
+                           if f != 1.0)
+            LAST_TIER = lbl or 1.0
+            if lbl:
+                logger.info("chunk plan used per-level U tier %s", lbl)
             return out
-    out = _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
-                        tiers[-1], warn=True)
-    LAST_TIER = tiers[-1]
-    logger.info("chunk plan used U tier %.2f (last)", tiers[-1])
+        fresh = [li for li in over_l if factors[li] == 1.0]
+        if over_t or not fresh:
+            break  # a transition overflowed, or 1.3 was not enough
+        for li in fresh:
+            factors[li] = 1.3
+
+    for f in tiers[1:-1]:
+        out, _, _ = _augment_once(plan, M, U, U_child, U_up, granule,
+                                  u_bump, f, warn=False)
+        if out is not None:
+            LAST_TIER = _tier_label(f)
+            logger.info("chunk plan used U tier %s", LAST_TIER)
+            return out
+    out, _, _ = _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
+                              tiers[-1], warn=True)
+    LAST_TIER = _tier_label(tiers[-1])
+    logger.info("chunk plan used U tier %s (last)", LAST_TIER)
     return out
 
 
-# Tier factor chosen by the most recent augment_plan_with_chunks call —
-# diagnostics only (bench/seed-sweep reporting), never read by compute.
-LAST_TIER: float = 1.0
+# Tier chosen by the most recent augment_plan_with_chunks call (a float,
+# or "sub<f>/ch<f>/up<f>" for per-group tiers) — diagnostics only
+# (bench/seed-sweep reporting), never read by compute.
+LAST_TIER = 1.0
+
+
+def _tier3(f):
+    """Normalize a tier spec (float, or (f_lvl, f_child, f_up))."""
+    return (f, f, f) if isinstance(f, (int, float)) else tuple(f)
+
+
+def _tier_label(f):
+    if isinstance(f, (int, float)):
+        return float(f)
+    return "sub%.2f/ch%.2f/up%.2f" % _tier3(f)
+
+
+def _scale1(u: int, f: float) -> int:
+    return u if f == 1.0 else -(-int(u * f) // 32) * 32
 
 
 def _scale_u(u, f):
     if isinstance(u, int):
-        return -(-int(u * f) // 32) * 32 if f != 1.0 else u
-    return tuple(-(-int(x * f) // 32) * 32 for x in u) if f != 1.0 \
-        else tuple(u)
+        return _scale1(u, f)
+    return tuple(_scale1(x, f) for x in u)
 
 
 def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
                   warn):
-    """One tier attempt. Returns None (try next tier) if any M-aligned
-    level/transition overflowed and warn=False; with warn=True always
+    """One escalation attempt. tier_f is a float, or a (f_sub, f_child,
+    f_up) triple where f_sub may itself be a per-level factor tuple.
+    Returns (plan_or_None, overflowed_levels, overflowed_transitions):
+    plan is None when an M-aligned map overflowed and warn=False (the
+    caller escalates using the overflow sets); with warn=True always
     returns a plan (overflowing maps keep chunks=None -> XLA path)."""
     if U is None:
         # TIGHT: one-hot FLOPs scale with U and dominate the kernels —
@@ -1093,21 +1138,25 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
     if granule > 1 and isinstance(U, tuple):
         # granule dedup inflates per-chunk slots ~10-25% (exp stats)
         U = tuple(-(-int(u * 1.3) // granule) * granule for u in U)
-    U, U_child, U_up = (_scale_u(U, tier_f), _scale_u(U_child, tier_f),
-                        _scale_u(U_up, tier_f))
+    f_lvl, f_child, f_up = _tier3(tier_f)
+    U_child, U_up = _scale_u(U_child, f_child), _scale_u(U_up, f_up)
     import logging
     logger = logging.getLogger("occuseg_tpu")
+    over_l, over_t = [], []
     new_levels = []
     for li, lvl in enumerate(plan.levels):
         u = U if isinstance(U, int) else U[min(li, len(U) - 1)]
+        fl = f_lvl if isinstance(f_lvl, (int, float)) \
+            else f_lvl[min(li, len(f_lvl) - 1)]
+        u = _scale1(u, fl)
         chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u, granule)
         if chunks is None and np.asarray(lvl.nbr).shape[0] % M == 0:
-            if not warn:
-                return None  # try the next (looser) tier
-            logger.warning(
-                "chunk plan overflow at level %d (U=%d, tier %.2f) — "
-                "falling back to the XLA conv path for this batch", li, u,
-                tier_f)
+            over_l.append(li)
+            if warn:
+                logger.warning(
+                    "chunk plan overflow at level %d (U=%d, tier %s) — "
+                    "falling back to the XLA conv path for this batch",
+                    li, u, _tier_label(tier_f))
         new_levels.append(dataclasses.replace(lvl, chunks=chunks))
     new_transitions = []
     for ti, tr in enumerate(plan.transitions):
@@ -1117,14 +1166,16 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
         up_chunks = _chunk_or_none(np.asarray(tr.up), M, U_up)
         # the general-form VJP needs BOTH directions' plans
         if child_chunks is None or up_chunks is None:
-            if (child_chunks is None and np.asarray(tr.child).shape[0] % M
-                    == 0 and not warn):
-                return None
-            if (up_chunks is None and np.asarray(tr.up).shape[0] % M == 0
-                    and not warn):
-                return None
+            if ((child_chunks is None
+                 and np.asarray(tr.child).shape[0] % M == 0)
+                    or (up_chunks is None
+                        and np.asarray(tr.up).shape[0] % M == 0)):
+                over_t.append(ti)
             child_chunks = up_chunks = None
         new_transitions.append(dataclasses.replace(
             tr, child_chunks=child_chunks, up_chunks=up_chunks))
+    if (over_l or over_t) and not warn:
+        return None, over_l, over_t
     return dataclasses.replace(plan, levels=tuple(new_levels),
-                               transitions=tuple(new_transitions))
+                               transitions=tuple(new_transitions)), \
+        over_l, over_t

@@ -166,20 +166,35 @@ def test_k_grouping_and_cout_blocking_paths(monkeypatch):
 
 
 def test_u_tier_escalation():
-    """A scene denser than the tight U budgets retries with the next tier
-    (whole-plan, so the jitted step sees one extra static-shape variant)
-    instead of falling to the XLA path (round-3: typical scenes overflow
-    the seed-0-calibrated tables)."""
-    plan = _real_plan()
-    # U=96 overflows this scene at M=64; tier 2.0 -> 192 fits
-    aug = augment_plan_with_chunks(plan, M=M, U=(96, 96), U_child=256,
+    """A scene denser than the tight U budgets escalates PER LEVEL first
+    (only the overflowing level's U grows 1.3x — a whole-plan bump taxed
+    dense seeds ~12%), then falls back to the uniform whole-plan tiers,
+    then to the XLA path (round-3: typical scenes overflow the
+    seed-0-calibrated tables)."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()  # this scene's max uniq at M=64: L0 113, L1 108
+    # L0's 96 overflows; per-level 1.3 -> 128 fits, and ONLY level 0 is
+    # escalated (level 1's 160 budget is untouched)
+    aug = augment_plan_with_chunks(plan, M=M, U=(96, 160), U_child=256,
                                    U_up=128, tiers=(1.0, 2.0))
     assert aug.levels[0].chunks is not None
-    assert aug.levels[0].chunks.in_idx.shape[1] == 192
-    # single-tier behaviour: overflow -> chunks None (XLA fallback)
-    aug1 = augment_plan_with_chunks(plan, M=M, U=(96, 96), U_child=256,
+    assert aug.levels[0].chunks.in_idx.shape[1] == 128
+    assert aug.levels[1].chunks.in_idx.shape[1] == 160
+    assert cc.LAST_TIER == "L0x1.30"
+    # per-level 1.3 insufficient at L0 (64 * 1.3 = 96 < 113) -> uniform
+    # whole-plan ladder: tier 2.0 -> (128, 192) fits everywhere
+    aug2 = augment_plan_with_chunks(plan, M=M, U=(64, 96), U_child=256,
+                                    U_up=128, tiers=(1.0, 2.0))
+    assert aug2.levels[0].chunks is not None
+    assert aug2.levels[0].chunks.in_idx.shape[1] == 128
+    assert cc.LAST_TIER == 2.0
+    # exhausted ladder (per-level 1.3 insufficient, no looser uniform
+    # tier): L0 falls back to the XLA path, L1 keeps its chunks
+    aug1 = augment_plan_with_chunks(plan, M=M, U=(64, 128), U_child=256,
                                     U_up=128, tiers=(1.0,))
     assert aug1.levels[0].chunks is None
+    assert aug1.levels[1].chunks is not None
 
 
 def test_fused_bwd_multiblock_cin_matches_xla():
