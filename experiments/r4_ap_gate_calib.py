@@ -2,10 +2,18 @@
 
 Runs the synthetic overfit soak, evaluates instance AP@0.5 through the
 REAL clustering pipeline (aggregate_regions -> meanshift -> merge ->
-filter_proposals -> AP) at several step counts, then repeats with the
-displacement loss ZEROED (the mutation the gate must catch).
+filter_proposals -> AP) at several step counts, then repeats with a
+quality-relevant loss term ZEROED (the mutation the gate must catch).
 
-Usage: python experiments/r4_ap_gate_calib.py
+First calibration run (round 4): disp_zeroed did NOT collapse AP on the
+synthetic scene (0.833 vs baseline 0.583 at 300 steps — synthetic
+instances are separable by embedding alone). The gate mutation must be
+one the cascade actually depends on here: occupancy (drives the
+filter_proposals size ratio and the merge) or embedding (drives
+mean-shift).
+
+Usage: python experiments/r4_ap_gate_calib.py [mutations...]
+  mutations: none disp occ emb   (default: none occ emb)
 """
 
 import sys
@@ -80,7 +88,7 @@ def eval_ap(model, state, batch, plan_j, region, valid):
     return r["mAP"]
 
 
-def soak(tag, zero_displacement=False, n_steps=300, seed=7):
+def soak(tag, mutation="none", n_steps=300, seed=7):
     batch = make_batch(SceneConfig(num_points=2500, extent=40,
                                    num_objects=6),
                        num_scenes=1, p_cap=4096, num_instances=16,
@@ -99,11 +107,22 @@ def soak(tag, zero_displacement=False, n_steps=300, seed=7):
     region = np.where(valid, region, -1).astype(np.int32)
 
     import occuseg_tpu.losses.instance as LI
-    orig = LI._cluster_losses
-    if zero_displacement:
+    orig_cl = LI._cluster_losses
+    orig_disc = LI.discriminative_loss
+    if mutation == "disp":
         def patched(disp_err, occ_err, *a, **k):
-            return orig(jnp.zeros_like(disp_err), occ_err, *a, **k)
+            return orig_cl(jnp.zeros_like(disp_err), occ_err, *a, **k)
         LI._cluster_losses = patched
+    elif mutation == "occ":
+        def patched(disp_err, occ_err, *a, **k):
+            return orig_cl(disp_err, jnp.zeros_like(occ_err), *a, **k)
+        LI._cluster_losses = patched
+    elif mutation == "emb":
+        def patched(embedding, *a, **k):
+            return jnp.sum(embedding) * 0.0
+        LI.discriminative_loss = patched
+    elif mutation != "none":
+        raise SystemExit(f"unknown mutation {mutation}")
     try:
         model = LearningBWDenseUNet(n_planes=(8, 16, 24), num_classes=20,
                                     block_reps=1, residual_blocks=True)
@@ -125,9 +144,11 @@ def soak(tag, zero_displacement=False, n_steps=300, seed=7):
                   f"iou={float(parts['instance_iou']):.3f} AP@0.5={ap:.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
     finally:
-        LI._cluster_losses = orig
+        LI._cluster_losses = orig_cl
+        LI.discriminative_loss = orig_disc
 
 
 if __name__ == "__main__":
-    soak("baseline")
-    soak("disp_zeroed", zero_displacement=True)
+    muts = sys.argv[1:] or ["none", "occ", "emb"]
+    for m in muts:
+        soak("baseline" if m == "none" else f"{m}_zeroed", mutation=m)
