@@ -81,6 +81,15 @@ def report(totals, n_steps, label):
     top = int(os.environ.get("OCC_PROF_TOP", 45))
     for name, ms in items[:top]:
         print(f"  {ms / n_steps:8.3f} ms  {name[:140]}", flush=True)
+    # per-bucket top ops (the overall top-N is all conv kernels; lever
+    # ranking needs to see inside the fusion/layout buckets too)
+    per = int(os.environ.get("OCC_PROF_PER_BUCKET", 10))
+    for b in sorted(bsum, key=lambda k: -bsum[k]):
+        if b == "pallas_kernel":
+            continue
+        print(f"-- {b} ({bsum[b]:.2f} ms) --", flush=True)
+        for name, ms in [kv for kv in items if bucket(kv[0]) == b][:per]:
+            print(f"  {ms / n_steps:8.3f} ms  {name[:140]}", flush=True)
     print(f"total busy: {sum(totals.values()) / n_steps:.1f} ms", flush=True)
 
 

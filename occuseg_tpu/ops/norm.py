@@ -32,23 +32,18 @@ def init_state(num_channels: int) -> BNState:
                    running_var=jnp.ones((num_channels,), jnp.float32))
 
 
-def batch_norm(feats: jnp.ndarray,
-               num_active: jnp.ndarray,
-               scale: jnp.ndarray,
-               bias: jnp.ndarray,
-               state: BNState,
-               *,
-               eps: float = 1e-4,
-               momentum: float = 0.9,
-               leakiness: float = 1.0,
-               training: bool = True,
-               axis_name: str | None = None) -> Tuple[jnp.ndarray, BNState]:
-    """Fused masked BN + leaky activation. Returns (out, new_state).
-
-    `axis_name` (spatial sharding, inside shard_map): batch statistics are
-    psum'd over the mesh axis so every shard normalizes with the GLOBAL
-    statistics — identical math to the unsharded call on the union of
-    rows, just a distributed summation order."""
+def _batch_norm_impl(feats: jnp.ndarray,
+                     num_active: jnp.ndarray,
+                     scale: jnp.ndarray,
+                     bias: jnp.ndarray,
+                     state: BNState,
+                     *,
+                     eps: float = 1e-4,
+                     momentum: float = 0.9,
+                     leakiness: float = 1.0,
+                     training: bool = True,
+                     axis_name: str | None = None
+                     ) -> Tuple[jnp.ndarray, BNState]:
     f = feats.astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (feats.shape[0], 1), 0)[:, 0]
     mask = (rows < num_active)[:, None]
@@ -78,11 +73,53 @@ def batch_norm(feats: jnp.ndarray,
         new_state = state
     w = inv_std * scale.astype(jnp.float32)
     b = bias.astype(jnp.float32) - mean * w
-    y = f * w + b
+    # normalize in the INPUT dtype: for f32 features this is the exact same
+    # expression as before (f*w+b); for bf16 it stops XLA from materializing
+    # (and autodiff from SAVING) a full f32 copy of every conv output —
+    # the per-BN `convert` ops measured 0.2-0.4 ms each on the flagship
+    # profile (exp_r4_a). Statistics stay f32 above.
+    dt = feats.dtype
+    y = feats * w.astype(dt) + b.astype(dt)
     if leakiness != 1.0:
-        y = jnp.where(y > 0, y, leakiness * y)
-    y = jnp.where(mask, y, 0)
-    return y.astype(feats.dtype), new_state
+        y = jnp.where(y > 0, y, jnp.asarray(leakiness, dt) * y)
+    y = jnp.where(mask, y, jnp.zeros((), dt))
+    return y, new_state
+
+
+def batch_norm(feats: jnp.ndarray,
+               num_active: jnp.ndarray,
+               scale: jnp.ndarray,
+               bias: jnp.ndarray,
+               state: BNState,
+               *,
+               eps: float = 1e-4,
+               momentum: float = 0.9,
+               leakiness: float = 1.0,
+               training: bool = True,
+               axis_name: str | None = None) -> Tuple[jnp.ndarray, BNState]:
+    """Fused masked BN + leaky activation. Returns (out, new_state).
+
+    `axis_name` (spatial sharding, inside shard_map): batch statistics are
+    psum'd over the mesh axis so every shard normalizes with the GLOBAL
+    statistics — identical math to the unsharded call on the union of
+    rows, just a distributed summation order.
+
+    The training path is wrapped in `jax.checkpoint`: without it, autodiff
+    saves the f32 upcast of the (bf16) input for the statistics backward —
+    a second full-size residual per BN. Rematerializing recomputes the
+    cheap stats reductions in the backward instead; values and gradients
+    are identical.
+    """
+    import functools
+    if not training:
+        return _batch_norm_impl(feats, num_active, scale, bias, state,
+                                eps=eps, momentum=momentum,
+                                leakiness=leakiness, training=False,
+                                axis_name=axis_name)
+    impl = functools.partial(_batch_norm_impl, eps=eps, momentum=momentum,
+                             leakiness=leakiness, training=True,
+                             axis_name=axis_name)
+    return jax.checkpoint(impl)(feats, num_active, scale, bias, state)
 
 
 def leaky_relu(feats: jnp.ndarray, leakiness: float = 0.0) -> jnp.ndarray:
