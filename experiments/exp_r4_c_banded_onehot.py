@@ -166,14 +166,21 @@ def main():
     def run(tag, fn):
         @jax.jit
         def many(g, l, w):
-            def body(i, carry):
-                out = fn(l, g + carry, w)
-                return (out.reshape(-1)[0] * 0).astype(g.dtype)
-            return jax.lax.fori_loop(0, N_ITERS, body,
-                                     jnp.zeros((), g.dtype))
+            # the package enables x64 globally; Mosaic rejects i64 scalars
+            # ("failed to legalize func.return (i32, i64, i64)") — trace
+            # the kernels under x32 exactly like production _fwd_impl does
+            with jax.enable_x64(False):
+                def body(i, carry):
+                    out = fn(l, g + carry, w)
+                    return (out.reshape(-1)[0] * 0).astype(g.dtype)
+                return jax.lax.fori_loop(0, N_ITERS, body,
+                                         jnp.zeros((), g.dtype))
         try:
             t0 = time.time()
-            r = many(gin, lidx_j, w_flat)
+            # warmup args must DIFFER from the timed args byte-for-byte:
+            # the tunnel dedupes identical dispatches (measured 0.004 ms
+            # for a cached kernel when warmup == timed call)
+            r = many(gin * jnp.bfloat16(1.0078125), lidx_j, w_flat)
             jax.block_until_ready(r)
             print(f"{tag}: compiled in {time.time() - t0:.0f}s", flush=True)
         except Exception as e:
@@ -191,8 +198,9 @@ def main():
     run("C banded+br", lambda l, g, w: banded_call(l, g, w, True))
 
     # numeric check (banded+br vs full) on the fitting rows
-    a = cc._pallas_fwd(lidx_j, gin, w_flat, jnp.bfloat16, False)
-    c = banded_call(lidx_j, gin, w_flat, True)
+    with jax.enable_x64(False):
+        a = cc._pallas_fwd(lidx_j, gin, w_flat, jnp.bfloat16, False)
+        c = banded_call(lidx_j, gin, w_flat, True)
     d = np.abs(np.asarray(a, np.float32) - np.asarray(c, np.float32))
     print(f"banded+br max |diff| = {d.max():.6f}", flush=True)
 
