@@ -1012,7 +1012,7 @@ def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
                              U_child=None, U_up: int = None,
                              granule: int = 1, u_bump: int = 0,
-                             tiers=(1.0, 1.3, 1.7)):
+                             tiers=(1.0, 1.3, 1.7), M_trans: int = None):
     """Attach ChunkPlans to every eligible level AND transition of a
     host-built Topology (NumPy leaves). Maps that overflow their U keep
     chunks=None (XLA path).
@@ -1041,7 +1041,10 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
        XLA path rather than failing."""
     global LAST_TIER
     import logging
+    import os
     logger = logging.getLogger("occuseg_tpu")
+    if M_trans is None:
+        M_trans = int(os.environ.get("OCC_TRANS_M", 0) or 0) or M
 
     # per-level escalation over the submanifold tables
     n_lvl = len(plan.levels)
@@ -1049,7 +1052,7 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
     for _ in range(n_lvl + 1):
         out, over_l, over_t = _augment_once(
             plan, M, U, U_child, U_up, granule, u_bump,
-            (tuple(factors), 1.0, 1.0), warn=False)
+            (tuple(factors), 1.0, 1.0), warn=False, M_trans=M_trans)
         if out is not None:
             lbl = ",".join(f"L{li}x{f:.2f}" for li, f in enumerate(factors)
                            if f != 1.0)
@@ -1065,13 +1068,13 @@ def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
 
     for f in tiers[1:-1]:
         out, _, _ = _augment_once(plan, M, U, U_child, U_up, granule,
-                                  u_bump, f, warn=False)
+                                  u_bump, f, warn=False, M_trans=M_trans)
         if out is not None:
             LAST_TIER = _tier_label(f)
             logger.info("chunk plan used U tier %s", LAST_TIER)
             return out
     out, _, _ = _augment_once(plan, M, U, U_child, U_up, granule, u_bump,
-                              tiers[-1], warn=True)
+                              tiers[-1], warn=True, M_trans=M_trans)
     LAST_TIER = _tier_label(tiers[-1])
     logger.info("chunk plan used U tier %s (last)", LAST_TIER)
     return out
@@ -1105,13 +1108,21 @@ def _scale_u(u, f):
 
 
 def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
-                  warn):
+                  warn, M_trans=None):
     """One escalation attempt. tier_f is a float, or a (f_sub, f_child,
     f_up) triple where f_sub may itself be a per-level factor tuple.
     Returns (plan_or_None, overflowed_levels, overflowed_transitions):
     plan is None when an M-aligned map overflowed and warn=False (the
     caller escalates using the overflow sets); with warn=True always
-    returns a plan (overflowing maps keep chunks=None -> XLA path)."""
+    returns a plan (overflowing maps keep chunks=None -> XLA path).
+
+    M_trans: chunk geometry for the TRANSITION maps only. K=8 transitions
+    do ~4x less per-step work than K=27 submanifold convs, so at M=128
+    the per-grid-step overhead (~0.7us) dominates them; a larger M_trans
+    halves the step count while the one-hot FLOPs stay constant
+    (U_child/U_up scale with M)."""
+    if M_trans is None:
+        M_trans = M
     if U is None:
         # TIGHT: one-hot FLOPs scale with U and dominate the kernels —
         # measured +15% U cost +36 ms/step. Measured maxima at M=128:
@@ -1120,11 +1131,11 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
              else (512, 512, 640, 640, 640, 640))
     if U_child is None:
         # measured child maxima at M=128: 346/489/617/672/662
-        U_child = ((416, 576, 704, 768, 768) if M == 128
+        U_child = ((416, 576, 704, 768, 768) if M_trans == 128
                    else (768, 1152, 1408, 1536, 1408))
     if U_up is None:
         # measured up maxima at M=128: 122/90/55/41/36
-        U_up = 160 if M == 128 else 384
+        U_up = 160 if M_trans == 128 else 384
 
     def _bumped(u):
         return u + u_bump if isinstance(u, int) \
@@ -1162,8 +1173,8 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
     for ti, tr in enumerate(plan.transitions):
         uc = U_child if isinstance(U_child, int) \
             else U_child[min(ti, len(U_child) - 1)]
-        child_chunks = _chunk_or_none(np.asarray(tr.child), M, uc)
-        up_chunks = _chunk_or_none(np.asarray(tr.up), M, U_up)
+        child_chunks = _chunk_or_none(np.asarray(tr.child), M_trans, uc)
+        up_chunks = _chunk_or_none(np.asarray(tr.up), M_trans, U_up)
         # the general-form VJP needs BOTH directions' plans
         if child_chunks is None or up_chunks is None:
             if ((child_chunks is None
