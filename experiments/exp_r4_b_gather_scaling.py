@@ -91,7 +91,8 @@ def main():
                 return (out.reshape(-1)[0] * 0).astype(f.dtype)
             return jax.lax.fori_loop(0, N_ITERS, body,
                                      jnp.zeros((), f.dtype))
-        r = many(feats, *args)
+        # warmup with PERTURBED input — identical dispatches get deduped
+        r = many(feats * jnp.bfloat16(1.0078125), *args)
         jax.block_until_ready(r)
         t0 = time.perf_counter()
         r = many(feats, *args)
@@ -141,8 +142,9 @@ def main():
 
     def window4(f, ws, *idxs):
         outs = []
+        zero = jnp.zeros((), ws.dtype)
         for s in range(ns):
-            w = jax.lax.dynamic_slice(f, (ws[s], 0), (base, 64))
+            w = jax.lax.dynamic_slice(f, (ws[s], zero), (base, 64))
             outs.append(jnp.take(w, idxs[s], axis=0, mode="clip"))
         return jnp.concatenate(outs, axis=0)
 
