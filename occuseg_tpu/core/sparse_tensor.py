@@ -18,6 +18,27 @@ import jax
 import jax.numpy as jnp
 
 
+def active_mask(num_active: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Bool [cap] active-row mask for either row layout.
+
+    `num_active` is a scalar count (active rows are the prefix [0, n)) or
+    an [ns] vector of per-scene counts under the BLOCKED batch layout
+    (`native/blocked.py`): scene s owns rows [s*(cap//ns), s*(cap//ns)+n_s),
+    each scene padded to its own static sub-cap so staging gathers stay at
+    single-scene table footprints (PERF.md batch-4 breakdown)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    if jnp.ndim(num_active) == 0:
+        return rows < num_active
+    ns = num_active.shape[0]
+    sc = cap // ns
+    return rows % sc < num_active[rows // sc]
+
+
+def total_active(num_active: jnp.ndarray) -> jnp.ndarray:
+    """Scalar count of real rows for either num_active layout."""
+    return num_active if jnp.ndim(num_active) == 0 else jnp.sum(num_active)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseTensor:
@@ -25,7 +46,9 @@ class SparseTensor:
 
     Attributes:
       features:   [N_cap, C] float array. Rows >= num_active are zero.
-      num_active: int32 scalar — count of real (non-padding) rows.
+      num_active: int32 scalar — count of real (non-padding) rows — or an
+                  [ns] vector of per-scene counts (blocked batch layout,
+                  see `active_mask`).
       level:      static int — index into the Topology plan's levels.
     """
 
@@ -43,8 +66,7 @@ class SparseTensor:
 
     def mask(self) -> jnp.ndarray:
         """Bool [N_cap] — True for real rows."""
-        rows = jax.lax.broadcasted_iota(jnp.int32, (self.cap, 1), 0)[:, 0]
-        return rows < self.num_active
+        return active_mask(self.num_active, self.cap)
 
     def with_features(self, features: jnp.ndarray) -> "SparseTensor":
         return dataclasses.replace(self, features=features)

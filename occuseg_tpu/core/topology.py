@@ -140,10 +140,16 @@ class Topology:
     def overflow(self) -> jnp.ndarray:
         """True if any level filled its cap (voxels were dropped) — the analog
         of the reference's chunk-coverage abort
-        (`SubmanifoldConvolutionRules.h:351-354`); check in tests/debug."""
-        return jnp.stack(
-            [lv.num_active >= lv.cap for lv in self.levels]
-        ).any()
+        (`SubmanifoldConvolutionRules.h:351-354`); check in tests/debug.
+
+        Blocked batch layout (num_active = [ns] per-scene counts): each
+        scene checks against its own sub-cap."""
+        flags = []
+        for lv in self.levels:
+            n = jnp.asarray(lv.num_active)
+            cap = lv.cap if n.ndim == 0 else lv.cap // n.shape[0]
+            flags.append((n >= cap).any())
+        return jnp.stack(flags).any()
 
 
 def _chebyshev_shells(max_radius: int) -> np.ndarray:
@@ -461,44 +467,62 @@ def validate_plan(plan: Topology) -> dict:
     inline consistency blocks, `Metadata.cpp:448-476` and the chunk coverage
     abort `SubmanifoldConvolutionRules.h:351-354`).
 
-    Returns a dict of violation counts; all zeros on a healthy plan."""
+    Returns a dict of violation counts; all zeros on a healthy plan.
+    Handles both row layouts: prefix-active (scalar num_active) and
+    BLOCKED per-scene sub-caps ([ns] num_active, native/blocked.py)."""
     import numpy as np
+
+    def active_rows(num_active, cap) -> np.ndarray:
+        na = np.asarray(num_active)
+        if na.ndim == 0:
+            return np.arange(int(na))
+        sc = cap // na.shape[0]
+        return np.concatenate(
+            [s * sc + np.arange(int(c)) for s, c in enumerate(na)]
+        ).astype(np.int64) if na.shape[0] else np.arange(0)
 
     out = {"overflow": int(bool(plan.overflow()))}
     for li, lvl in enumerate(plan.levels):
         keys = np.asarray(lvl.keys)
-        n = int(lvl.num_active)
-        sorted_ok = bool(np.all(np.diff(keys[:n].astype(np.int64)) > 0))
+        rows = active_rows(lvl.num_active, keys.shape[0])
+        # strictly increasing within each scene block (blocked scenes
+        # restart their key range; compare only same-block neighbors)
+        kv = keys[rows].astype(np.int64)
+        same_blk = np.diff(rows) == 1
+        sorted_ok = bool(np.all(np.diff(kv)[same_blk] > 0))
         out[f"level{li}_unsorted_or_dup"] = int(not sorted_ok)
         nbr = np.asarray(lvl.nbr)
         k_center = nbr.shape[1] // 2
         out[f"level{li}_bad_center"] = int(
-            np.sum(nbr[:n, k_center] != np.arange(n)))
+            np.sum(nbr[rows, k_center] != rows))
         # symmetry: nbr[r,k]==i <=> nbr[i,K-1-k]==r
         K = nbr.shape[1]
         bad_sym = 0
         for k in range(K):
-            col = nbr[:n, k]
+            col = nbr[rows, k]
             hit = col >= 0
-            rows = np.arange(n)[hit]
             back = nbr[col[hit], K - 1 - k]
-            bad_sym += int(np.sum(back != rows))
+            bad_sym += int(np.sum(back != rows[hit]))
         out[f"level{li}_asymmetric"] = bad_sym
     for ti, tr in enumerate(plan.transitions):
         child = np.asarray(tr.child)
         up = np.asarray(tr.up)
-        nf = int(plan.levels[ti].num_active)
-        nc = int(plan.levels[ti + 1].num_active)
+        fine_rows = active_rows(plan.levels[ti].num_active,
+                                np.asarray(plan.levels[ti].keys).shape[0])
+        crows = active_rows(plan.levels[ti + 1].num_active,
+                            np.asarray(plan.levels[ti + 1].keys).shape[0])
         K = child.shape[1]
         bad = 0
         for k in range(K):
-            col = child[:nc, k]
+            col = child[crows, k]
             hit = col >= 0
-            bad += int(np.sum(up[col[hit], k] != np.arange(nc)[hit]))
+            bad += int(np.sum(up[col[hit], k] != crows[hit]))
         out[f"transition{ti}_child_up_mismatch"] = bad
         if tr.size == tr.stride:
-            covered = np.zeros(nf, bool)
-            flat = child[:nc].reshape(-1)
+            covered = np.zeros(
+                np.asarray(plan.levels[ti].keys).shape[0], bool)
+            flat = child[crows].reshape(-1)
             covered[flat[flat >= 0]] = True
-            out[f"transition{ti}_uncovered_fine"] = int(np.sum(~covered))
+            out[f"transition{ti}_uncovered_fine"] = int(
+                np.sum(~covered[fine_rows]))
     return out

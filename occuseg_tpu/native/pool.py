@@ -32,11 +32,12 @@ import numpy as np
 _W: Dict = {}
 
 
-def _init(spec, chunks, u_bump, bucket_specs_list):
+def _init(spec, chunks, u_bump, bucket_specs_list, ns=1):
     _W["spec"] = spec
     _W["chunks"] = chunks
     _W["u_bump"] = u_bump
     _W["buckets"] = bucket_specs_list
+    _W["ns"] = ns
 
 
 def _build(args) -> Tuple[Optional[object], int]:
@@ -45,17 +46,22 @@ def _build(args) -> Tuple[Optional[object], int]:
     from occuseg_tpu.native.plan import build_plan_host
 
     spec = _W["spec"]
+    ns = _W.get("ns", 1)
     bi = 0
     if _W["buckets"] is not None:
-        from occuseg_tpu.train.bucketing import pick_bucket
-        bi = pick_bucket(_W["buckets"], coords)
-        spec = _W["buckets"][bi]
-    plan = build_plan_host(coords, spec, normals)
+        from occuseg_tpu.train.bucketing import plan_for_batch
+        bi, plan = plan_for_batch(_W["buckets"], coords, normals, ns=ns)
+    elif ns > 1:
+        from occuseg_tpu.native.blocked import build_plan_host_blocked
+        plan = build_plan_host_blocked(coords, spec, ns, normals)
+    else:
+        plan = build_plan_host(coords, spec, normals)
     if plan is not None and _W["chunks"]:
         from occuseg_tpu.ops.pallas.chunk_conv import (
             augment_plan_with_chunks,
         )
-        plan = augment_plan_with_chunks(plan, u_bump=_W["u_bump"])
+        bump = 0 if ns > 1 else _W["u_bump"]
+        plan = augment_plan_with_chunks(plan, u_bump=bump)
     return plan, bi
 
 
@@ -64,14 +70,15 @@ class PlanPool:
 
     def __init__(self, spec, workers: int, chunks: bool = False,
                  u_bump: int = 0, use_normals: bool = False,
-                 bucket_specs_list=None, window: Optional[int] = None):
+                 bucket_specs_list=None, window: Optional[int] = None,
+                 ns: int = 1):
         self.workers = max(int(workers), 1)
         self.use_normals = use_normals
         self.window = window or self.workers + 2
         ctx = mp.get_context("fork")
         self._pool = ctx.Pool(self.workers, initializer=_init,
                               initargs=(spec, chunks, u_bump,
-                                        bucket_specs_list))
+                                        bucket_specs_list, ns))
 
     def imap(self, batches: Iterable[Dict]
              ) -> Iterator[Tuple[Dict, Optional[object], int]]:

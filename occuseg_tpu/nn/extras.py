@@ -122,7 +122,9 @@ class MeanOnlyBNLeakyReLU(nn.Module):
         f = x.features.astype(jnp.float32)
         mask = x.mask()[:, None]
         if train:
-            n = jnp.maximum(x.num_active.astype(jnp.float32), 1.0)
+            from occuseg_tpu.core.sparse_tensor import total_active
+            n = jnp.maximum(total_active(x.num_active).astype(jnp.float32),
+                            1.0)
             mean = jnp.sum(jnp.where(mask, f, 0), axis=0) / n
             if not self.is_initializing():
                 ra.value = (self.momentum * ra.value

@@ -139,7 +139,8 @@ class SubmanifoldConvolution(nn.Module):
             out = chunk_gather_conv(feats, lvl.chunks.in_idx,
                                     lvl.chunks.lidx, w_eff,
                                     granule=lvl.chunks.granule,
-                                    tmask=lvl.chunks.tmask)
+                                    tmask=lvl.chunks.tmask,
+                                    ns=lvl.chunks.ns)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -179,7 +180,8 @@ class Convolution(nn.Module):
                 tr.up_chunks.in_idx, tr.up_chunks.lidx, w,
                 granule=tr.child_chunks.granule,
                 t_granule=tr.up_chunks.granule,
-                tmask=tr.child_chunks.tmask, t_tmask=tr.up_chunks.tmask)
+                tmask=tr.child_chunks.tmask, t_tmask=tr.up_chunks.tmask,
+                ns=tr.child_chunks.ns)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:
@@ -223,7 +225,8 @@ class Deconvolution(nn.Module):
                 tr.child_chunks.in_idx, tr.child_chunks.lidx, w,
                 granule=tr.up_chunks.granule,
                 t_granule=tr.child_chunks.granule,
-                tmask=tr.up_chunks.tmask, t_tmask=tr.child_chunks.tmask)
+                tmask=tr.up_chunks.tmask, t_tmask=tr.child_chunks.tmask,
+                ns=tr.up_chunks.ns)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:

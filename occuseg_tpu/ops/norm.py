@@ -44,10 +44,11 @@ def _batch_norm_impl(feats: jnp.ndarray,
                      training: bool = True,
                      axis_name: str | None = None
                      ) -> Tuple[jnp.ndarray, BNState]:
+    from occuseg_tpu.core.sparse_tensor import active_mask, total_active
+
     f = feats.astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (feats.shape[0], 1), 0)[:, 0]
-    mask = (rows < num_active)[:, None]
-    n = num_active.astype(jnp.float32)
+    mask = active_mask(num_active, feats.shape[0])[:, None]
+    n = total_active(num_active).astype(jnp.float32)
     if axis_name is not None:
         n = jax.lax.psum(n, axis_name)
     n = jnp.maximum(n, 1.0)

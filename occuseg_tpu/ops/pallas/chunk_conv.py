@@ -92,6 +92,14 @@ class ChunkPlan:
     # int32 [C, K] one-hot tile-skip bitmask (bit t: offset k references a
     # slot in column tile t), or None for the untiled kernels
     tmask: Optional[jnp.ndarray] = None
+    # BLOCKED batch layout (native/blocked.py): ns > 1 means the feature
+    # table is ns per-scene blocks of equal sub-cap, chunks are scene-pure
+    # and ordered scene-major, and in_idx values are scene-LOCAL rows.
+    # _stage then gathers from per-scene static windows — XLA's row gather
+    # collapses ~12.9x once the source table passes ~100 MB (PERF.md
+    # batch-4 breakdown), so multi-scene batches must never gather from
+    # the full table.
+    ns: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def geometry(self) -> Tuple[int, int, int, int]:
@@ -628,7 +636,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
     )(nz, *tm, lidx, gin, ct_c)
 
 
-def _stage(feats, in_idx, granule: int = 1):
+def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
     """XLA pre-gather of each chunk's deduped input rows: [C, U, Cin].
     One coalesced gather per conv instead of K strided ones.
 
@@ -638,28 +646,47 @@ def _stage(feats, in_idx, granule: int = 1):
 
     granule g > 1: in_idx holds row//g ids; the gather reads g-row granules
     (g*Cin bytes per row) from feats viewed [N/g, g*Cin] — same bytes in
-    fewer, bigger rows."""
+    fewer, bigger rows.
+
+    ns > 1 (blocked batch layout): feats is ns equal per-scene blocks,
+    chunks are scene-major, in_idx is scene-LOCAL — gather each scene's
+    chunks from a STATIC slice window of its block. Measured on silicon
+    (exp_r4_b): one gather over a 4-scene [786k,64] table runs at
+    8.6 GB/s; the same refs through 4 static windows run at 110 GB/s."""
     C, Ug = in_idx.shape
-    safe = jnp.maximum(in_idx.reshape(-1), 0)
-    # mode="clip": jnp.take's DEFAULT is "fill", which re-adds the
-    # bounds-check select pass (~10 ms/step of broadcast_select fusions)
-    # even though `safe` is already in-bounds
-    if granule == 1:
-        return jnp.take(feats, safe, axis=0, mode="clip",
-                        unique_indices=False,
-                        indices_are_sorted=False).reshape(C, Ug, -1)
     N, Cin = feats.shape
-    fg = feats.reshape(N // granule, granule * Cin)
-    out = jnp.take(fg, safe, axis=0, mode="clip", unique_indices=False,
-                   indices_are_sorted=False)
-    return out.reshape(C, Ug * granule, Cin)
+    fsrc = feats if granule == 1 \
+        else feats.reshape(N // granule, granule * Cin)
+    if ns == 1:
+        safe = jnp.maximum(in_idx.reshape(-1), 0)
+        # mode="clip": jnp.take's DEFAULT is "fill", which re-adds the
+        # bounds-check select pass (~10 ms/step of broadcast_select
+        # fusions) even though `safe` is already in-bounds
+        out = jnp.take(fsrc, safe, axis=0, mode="clip",
+                       unique_indices=False, indices_are_sorted=False)
+        return out.reshape(C, Ug * granule, -1) if granule > 1 \
+            else out.reshape(C, Ug, -1)
+    Cs = C // ns
+    scap = fsrc.shape[0] // ns
+    outs = []
+    for s in range(ns):
+        idx = jnp.maximum(
+            jax.lax.slice_in_dim(in_idx, s * Cs, (s + 1) * Cs).reshape(-1),
+            0)
+        win = jax.lax.slice_in_dim(fsrc, s * scap, (s + 1) * scap)
+        outs.append(jnp.take(win, idx, axis=0, mode="clip",
+                             unique_indices=False,
+                             indices_are_sorted=False))
+    out = jnp.concatenate(outs, axis=0)
+    return out.reshape(C, Ug * granule, Cin) if granule > 1 \
+        else out.reshape(C, Ug, -1)
 
 
 def _fwd_impl(feats, in_idx, lidx, weight, granule=1,
-              return_gin: bool = False, tmask=None):
+              return_gin: bool = False, tmask=None, ns=1):
     K, Cin, Cout = weight.shape
     out_dtype = feats.dtype
-    gin = _stage(feats, in_idx, granule)
+    gin = _stage(feats, in_idx, granule, ns)
     w_flat = weight.astype(out_dtype).reshape(K * Cin, Cout)
     with jax.enable_x64(False):
         out = _pallas_fwd(lidx, gin, w_flat, out_dtype,
@@ -669,14 +696,15 @@ def _fwd_impl(feats, in_idx, lidx, weight, granule=1,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sub_conv(granule: int):
+def _make_sub_conv(granule: int, ns: int = 1):
     """custom_vjp instance for a (static) staging granule. `tmask` (an
     array or None) is the one-hot tile-skip bitmask for lidx — the
     submanifold map is self-transpose, so the backward reuses it."""
 
     @jax.custom_vjp
     def f(feats, in_idx, lidx, tmask, weight):
-        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask)
+        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask,
+                         ns=ns)
 
     def fwd(feats, in_idx, lidx, tmask, weight):
         # when the fused backward will NOT apply (decided by STATIC shapes),
@@ -690,11 +718,11 @@ def _make_sub_conv(granule: int):
                                            in_idx.shape[1], esize) > 0)
         if fused:
             out = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                            tmask=tmask)
+                            tmask=tmask, ns=ns)
             gin = None
         else:
             out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                                 return_gin=True, tmask=tmask)
+                                 return_gin=True, tmask=tmask, ns=ns)
         return out, (feats, in_idx, lidx, tmask, weight, gin)
 
     def bwd(res, ct):
@@ -712,7 +740,7 @@ def _make_sub_conv(granule: int):
         # (offset-reversal symmetry nbr[r,k]=i <=> nbr[i,K-1-k]=r). The
         # fused kernel computes both with ONE one-hot build.
         w_rev_t = jnp.transpose(weight[::-1], (0, 2, 1)).astype(feats.dtype)
-        gct = _stage(ctc, in_idx, granule)
+        gct = _stage(ctc, in_idx, granule, ns)
         if _bwd_fused_eligible(K, M, Cout, Cin, Cout, esize):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused(
@@ -736,7 +764,7 @@ def _make_sub_conv(granule: int):
         # fallback: separate dW kernel (gathers feats via the forward map,
         # so no K reversal there)
         gin = gin_saved if gin_saved is not None \
-            else _stage(feats, in_idx, granule)
+            else _stage(feats, in_idx, granule, ns)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
                                  interpret, tmask)
@@ -754,7 +782,7 @@ def _under_shard_map(*arrays) -> bool:
     return any(getattr(jax.typeof(a), "vma", None) for a in arrays)
 
 
-def _dechunked_conv(feats, in_idx, lidx, weight, granule=1):
+def _dechunked_conv(feats, in_idx, lidx, weight, granule=1, ns=1):
     """Pure-XLA evaluation of a chunk plan (same math as the kernel),
     differentiable by plain autodiff. Used on CPU inside shard_map, where
     jax's pallas HLO interpreter cannot type-check its internal block
@@ -762,7 +790,7 @@ def _dechunked_conv(feats, in_idx, lidx, weight, granule=1):
     by definition; on TPU the real kernels lower fine)."""
     C, K, M = lidx.shape
     _, Cin, Cout = weight.shape
-    gin = _stage(feats, in_idx, granule)                   # [C, U, Cin]
+    gin = _stage(feats, in_idx, granule, ns)               # [C, U, Cin]
     safe = jnp.maximum(lidx, 0)                            # [C, K, M]
     gin_b = jnp.broadcast_to(gin[:, None],
                              (C, K) + gin.shape[1:])
@@ -784,28 +812,31 @@ def _tiles_enabled() -> bool:
 
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
                       lidx: jnp.ndarray, weight: jnp.ndarray,
-                      granule: int = 1, tmask=None) -> jnp.ndarray:
+                      granule: int = 1, tmask=None,
+                      ns: int = 1) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k] via the chunked one-hot
     kernel. SUBMANIFOLD maps only (cap_in == cap_out and nbr self-transpose
     under offset reversal — the property the backward relies on).
 
     feats [N, Cin] with N == C*M; weight [K, Cin, Cout]. Returns [N, Cout].
     `tmask` [C, K] int32 (see `tile_mask`) enables one-hot tile skipping;
-    OCC_TILE_SKIP=0 disables it for A/B runs.
+    OCC_TILE_SKIP=0 disables it for A/B runs. `ns` > 1: blocked batch
+    layout, scene-local in_idx staged from per-scene windows (`_stage`).
     """
     if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
                                                  weight):
-        return _dechunked_conv(feats, in_idx, lidx, weight, granule)
+        return _dechunked_conv(feats, in_idx, lidx, weight, granule, ns)
     if not _tiles_enabled():
         tmask = None
-    return _make_sub_conv(granule)(feats, in_idx, lidx, tmask, weight)
+    return _make_sub_conv(granule, ns)(feats, in_idx, lidx, tmask, weight)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_t_conv(granule: int, t_granule: int):
+def _make_t_conv(granule: int, t_granule: int, ns: int = 1):
     @jax.custom_vjp
     def f(feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask, weight):
-        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask)
+        return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask,
+                         ns=ns)
 
     def fwd(feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask, weight):
         K, Cin, Cout = weight.shape
@@ -817,11 +848,11 @@ def _make_t_conv(granule: int, t_granule: int):
                           K, Mt, Cout, Cin, t_in_idx.shape[1], esize) > 0))
         if fused:
             out = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                            tmask=tmask)
+                            tmask=tmask, ns=ns)
             gin = None
         else:
             out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                                 return_gin=True, tmask=tmask)
+                                 return_gin=True, tmask=tmask, ns=ns)
         return out, (feats, in_idx, lidx, tmask, t_in_idx, t_lidx, t_tmask,
                      weight, gin)
 
@@ -836,7 +867,7 @@ def _make_t_conv(granule: int, t_granule: int):
         esize = jnp.dtype(feats.dtype).itemsize
 
         w_t = jnp.transpose(weight, (0, 2, 1)).astype(feats.dtype)
-        gct = _stage(ctc, t_in_idx, t_granule)
+        gct = _stage(ctc, t_in_idx, t_granule, ns)
         # same-k pairing: Gct_k[i] = ct[t_table[i,k]]; dW[k] = sum_i
         # feats[i] (x) Gct_k[i] — fused with d_feats when VMEM allows
         if Ct * Mt == feats.shape[0] and _bwd_fused_eligible(
@@ -865,7 +896,7 @@ def _make_t_conv(granule: int, t_granule: int):
                         None, None, d_w)
 
         gin = gin_saved if gin_saved is not None \
-            else _stage(feats, in_idx, granule)
+            else _stage(feats, in_idx, granule, ns)
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
                                  interpret, tmask)
@@ -883,7 +914,8 @@ def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
                         lidx: jnp.ndarray, t_in_idx: jnp.ndarray,
                         t_lidx: jnp.ndarray, weight: jnp.ndarray,
                         granule: int = 1, t_granule: int = 1,
-                        tmask=None, t_tmask=None) -> jnp.ndarray:
+                        tmask=None, t_tmask=None,
+                        ns: int = 1) -> jnp.ndarray:
     """Chunked conv with an EXPLICIT transpose chunk plan — the general
     (non-submanifold) form used by strided convolution (fwd table = child,
     transpose = up) and deconvolution (fwd = up, transpose = child), where
@@ -894,12 +926,12 @@ def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
     """
     if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
                                                  weight):
-        return _dechunked_conv(feats, in_idx, lidx, weight, granule)
+        return _dechunked_conv(feats, in_idx, lidx, weight, granule, ns)
     if not _tiles_enabled():
         tmask = t_tmask = None
-    return _make_t_conv(granule, t_granule)(feats, in_idx, lidx, tmask,
-                                            t_in_idx, t_lidx, t_tmask,
-                                            weight)
+    return _make_t_conv(granule, t_granule, ns)(feats, in_idx, lidx, tmask,
+                                                t_in_idx, t_lidx, t_tmask,
+                                                weight)
 
 
 def supported(cap: int, cin: int, cout: int, M: int = DEFAULT_M) -> bool:
@@ -998,15 +1030,43 @@ def tile_mask(lidx: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(bits, axis=2).astype(np.int32)
 
 
-def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1):
+def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1,
+                   ns: int = 1, val_scap: int = None):
+    """ChunkPlan for a host map, or None on overflow.
+
+    ns > 1 (blocked batch layout): `table` is ns equal row blocks whose
+    VALUES index ns equal blocks of `val_scap` rows in the map's source
+    space (nbr: val_scap == rows/ns; child: the fine level's per-scene
+    cap; up: the coarse level's). Each scene's block is localized
+    (values -= s*val_scap) and planned independently at the SAME U so the
+    concatenated arrays keep one static shape; in_idx stays scene-local
+    for `_stage`'s window gathers."""
     if table.shape[0] % M != 0:
         return None
-    arrs = build_chunk_arrays(table, M, u, granule, with_mask=True)
-    if arrs is None:
+    if ns == 1:
+        arrs = build_chunk_arrays(table, M, u, granule, with_mask=True)
+        if arrs is None:
+            return None
+        tm = arrs[2] if len(arrs) > 2 else tile_mask(arrs[1])
+        return ChunkPlan(in_idx=arrs[0], lidx=arrs[1], granule=granule,
+                         tmask=tm)
+    rcap = table.shape[0] // ns
+    if rcap % M != 0:
         return None
-    tm = arrs[2] if len(arrs) > 2 else tile_mask(arrs[1])
-    return ChunkPlan(in_idx=arrs[0], lidx=arrs[1], granule=granule,
-                     tmask=tm)
+    parts = []
+    for s in range(ns):
+        sub = table[s * rcap:(s + 1) * rcap]
+        sub = np.where(sub >= 0, sub - s * val_scap, -1).astype(np.int32)
+        arrs = build_chunk_arrays(sub, M, u, granule, with_mask=True)
+        if arrs is None:
+            return None
+        parts.append(arrs)
+    in_idx = np.concatenate([p[0] for p in parts])
+    lidx = np.concatenate([p[1] for p in parts])
+    tm = np.concatenate([p[2] if len(p) > 2 else tile_mask(p[1])
+                         for p in parts])
+    return ChunkPlan(in_idx=in_idx, lidx=lidx, granule=granule, tmask=tm,
+                     ns=ns)
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
@@ -1153,6 +1213,11 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
     U_child, U_up = _scale_u(U_child, f_child), _scale_u(U_up, f_up)
     import logging
     logger = logging.getLogger("occuseg_tpu")
+    # blocked batch layout (native/blocked.py): num_active is an [ns]
+    # vector of per-scene counts — plan each scene's chunks separately
+    # (scene-local in_idx, window staging) at a shared U
+    na0 = np.asarray(plan.levels[0].num_active)
+    ns = 1 if na0.ndim == 0 else int(na0.shape[0])
     over_l, over_t = [], []
     new_levels = []
     for li, lvl in enumerate(plan.levels):
@@ -1160,7 +1225,9 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
         fl = f_lvl if isinstance(f_lvl, (int, float)) \
             else f_lvl[min(li, len(f_lvl) - 1)]
         u = _scale1(u, fl)
-        chunks = _chunk_or_none(np.asarray(lvl.nbr), M, u, granule)
+        nbr = np.asarray(lvl.nbr)
+        chunks = _chunk_or_none(nbr, M, u, granule, ns,
+                                nbr.shape[0] // ns)
         if chunks is None and np.asarray(lvl.nbr).shape[0] % M == 0:
             over_l.append(li)
             if warn:
@@ -1173,8 +1240,12 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
     for ti, tr in enumerate(plan.transitions):
         uc = U_child if isinstance(U_child, int) \
             else U_child[min(ti, len(U_child) - 1)]
-        child_chunks = _chunk_or_none(np.asarray(tr.child), M_trans, uc)
-        up_chunks = _chunk_or_none(np.asarray(tr.up), M_trans, U_up)
+        fine_scap = np.asarray(tr.up).shape[0] // ns
+        coarse_scap = np.asarray(tr.child).shape[0] // ns
+        child_chunks = _chunk_or_none(np.asarray(tr.child), M_trans, uc,
+                                      1, ns, fine_scap)
+        up_chunks = _chunk_or_none(np.asarray(tr.up), M_trans, U_up,
+                                   1, ns, coarse_scap)
         # the general-form VJP needs BOTH directions' plans
         if child_chunks is None or up_chunks is None:
             if ((child_chunks is None

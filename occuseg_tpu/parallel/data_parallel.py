@@ -64,7 +64,9 @@ def make_dp_train_step(model, spec: PlanSpec, mesh: Mesh,
             out_specs=(P(), P()),
         )(state, batch, plans)
 
-    return jax.jit(sharded)
+    # donate the replicated state: params/opt-state buffers are consumed
+    # and rebuilt every step — aliasing them saves the copy traffic
+    return jax.jit(sharded, donate_argnums=0)
 
 
 def stack_plans(plans: Sequence):
@@ -88,5 +90,14 @@ def shard_plans(plans, mesh: Mesh):
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate a TrainState onto the mesh, with buffers the result OWNS.
+
+    The DP step donates its state argument (`donate_argnums=0` above), and
+    a bare `device_put` onto a same-backend mesh (the virtual CPU mesh in
+    tests/dryrun) ALIASES the input's buffers — donating the alias would
+    invalidate the caller's original state. `jnp.array` forces a copy."""
+    import jax.numpy as jnp
+
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.array(x), sharding), state)

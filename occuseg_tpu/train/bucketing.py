@@ -63,17 +63,26 @@ def pick_bucket(specs: Sequence[PlanSpec], coords: np.ndarray,
 
 
 def plan_for_batch(specs: Sequence[PlanSpec], coords: np.ndarray,
-                   normals: Optional[np.ndarray] = None):
-    """(bucket_index, host_plan) with overflow retry into bigger buckets."""
+                   normals: Optional[np.ndarray] = None, ns: int = 1):
+    """(bucket_index, host_plan) with overflow retry into bigger buckets.
+
+    `ns` > 1 builds the BLOCKED multi-scene layout (native/blocked.py):
+    overflow is then per scene against its sub-cap (keys rows / ns), the
+    binding constraint being the batch's LARGEST scene."""
+    from occuseg_tpu.native.blocked import build_plan_host_blocked
     from occuseg_tpu.native.plan import build_plan_host
 
     i = pick_bucket(specs, coords)
     while True:
-        plan = build_plan_host(coords, specs[i], normals)
+        if ns > 1:
+            plan = build_plan_host_blocked(coords, specs[i], ns, normals)
+        else:
+            plan = build_plan_host(coords, specs[i], normals)
         if plan is None:
             return i, None
-        overflow = any(int(l.num_active) >= l.keys.shape[0]
-                       for l in plan.levels)
+        overflow = any(
+            (np.asarray(l.num_active) >= l.keys.shape[0] // max(ns, 1)).any()
+            for l in plan.levels)
         if not overflow or i == len(specs) - 1:
             return i, plan
         i += 1

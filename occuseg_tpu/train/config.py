@@ -76,6 +76,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help=">1 builds host plans in a fork-based process pool "
                         "(the analog of the reference's DataLoader "
                         "num_workers=10); 0/1 = single prefetch thread")
+    p.add_argument("--blocked_batch", type=int, default=1,
+                   help="multi-scene per-chip batches use the BLOCKED row "
+                        "layout (per-scene sub-caps; keeps staging gathers "
+                        "at single-scene table footprints — see "
+                        "native/blocked.py); 0 = concatenated layout")
     p.add_argument("--num_buckets", type=int, default=1,
                    help=">1 enables bucketed static shapes (one jitted "
                         "step per cap bucket; cuts padding waste)")
@@ -105,7 +110,8 @@ def args_to_config(args: argparse.Namespace) -> Dict[str, Any]:
               "dataset", "taskname", "data_dir", "point_cap", "voxel_cap",
               "instance_cap", "num_devices", "num_buckets", "accum_steps",
               "spatial_shards", "spatial_halo", "spatial_pool", "load",
-              "chunk_conv", "drift_weight", "plan_workers"):
+              "chunk_conv", "drift_weight", "plan_workers",
+              "blocked_batch"):
         config[k] = getattr(args, k)
     m = args.m
     config["unet_structure"] = [m, 2 * m, 3 * m, 4 * m, 5 * m, 6 * m]

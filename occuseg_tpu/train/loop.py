@@ -106,7 +106,7 @@ def get_dataset(config: Dict):
 def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     bucket_specs_list=None, spatial: Optional[Dict] = None,
                     use_normals: bool = False, chunks: bool = False,
-                    u_bump: int = 0
+                    u_bump: int = 0, ns: int = 1
                     ) -> Iterator[Tuple[Dict, Optional[object], int]]:
     """Yield (batch, host_plan, bucket_index) with the C++ plan built one
     batch ahead in a worker thread — the loader-side analog of the
@@ -115,11 +115,14 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
     builds it in-jit). With `bucket_specs_list`, each batch gets the
     smallest cap bucket that fits (train/bucketing.py). With `spatial`
     (dict of shards/halo/pool), the sharded plan (prepare_shard_args) is
-    ALSO built in the worker and yielded as the second element."""
+    ALSO built in the worker and yielded as the second element. `ns` > 1
+    (multi-scene batches, no spatial): the BLOCKED layout
+    (native/blocked.py) — u_bump then does not apply."""
     from occuseg_tpu.native.plan import build_plan_host
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
+    blocked = ns > 1 and spatial is None
 
     def worker():
         try:
@@ -128,6 +131,14 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     from occuseg_tpu.train.bucketing import plan_for_batch
                     bi, plan = plan_for_batch(
                         bucket_specs_list, b["coords"],
+                        b.get("normals") if use_normals else None,
+                        ns=ns if blocked else 1)
+                elif blocked:
+                    from occuseg_tpu.native.blocked import (
+                        build_plan_host_blocked,
+                    )
+                    bi, plan = 0, build_plan_host_blocked(
+                        b["coords"], spec, ns,
                         b.get("normals") if use_normals else None)
                 else:
                     bi, plan = 0, build_plan_host(
@@ -137,7 +148,8 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
                     from occuseg_tpu.ops.pallas.chunk_conv import (
                         augment_plan_with_chunks,
                     )
-                    plan = augment_plan_with_chunks(plan, u_bump=u_bump)
+                    bump = 0 if blocked else u_bump
+                    plan = augment_plan_with_chunks(plan, u_bump=bump)
                 if plan is not None and spatial is None:
                     from occuseg_tpu.core.point_layout import (
                         apply_point_layout, augment_plan_with_point_layout,
@@ -165,15 +177,23 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
 
 
 def _host_plan_any(coords: np.ndarray, spec, normals=None,
-                   chunks: bool = False, u_bump: int = 0) -> object:
+                   chunks: bool = False, u_bump: int = 0,
+                   ns: int = 1) -> object:
     """Host plan via the C++ builder, or the jitted builder as fallback
     (returns NumPy leaves either way). `normals` [P,3] enable the plan's
     per-level orientation classes (--use_normal); `chunks` attaches the
-    Pallas chunk rulebooks (host plans only)."""
+    Pallas chunk rulebooks (host plans only). `ns` > 1 builds the BLOCKED
+    multi-scene layout (native/blocked.py: per-scene sub-caps, window
+    staging — u_bump then does not apply, chunks are scene-pure)."""
     from occuseg_tpu.core.topology import build_plan
     from occuseg_tpu.native.plan import build_plan_host
 
-    plan = build_plan_host(coords, spec, normals)
+    if ns > 1:
+        from occuseg_tpu.native.blocked import build_plan_host_blocked
+        plan = build_plan_host_blocked(coords, spec, ns, normals)
+        u_bump = 0 if plan is not None else u_bump
+    else:
+        plan = build_plan_host(coords, spec, normals)
     if plan is None:
         if normals is not None:
             plan = jax.device_get(jax.jit(
@@ -193,7 +213,7 @@ def _host_plan_any(coords: np.ndarray, spec, normals=None,
 def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
                        depth: int = 2, use_normals: bool = False,
                        bucket_specs_list=None, chunks: bool = False,
-                       u_bump: int = 0
+                       u_bump: int = 0, ns: int = 1
                        ) -> Iterator[Tuple[Dict, object, int]]:
     """Group `n_dev` consecutive per-device batches, build each one's
     topology plan on the host, and yield (stacked_batch, stacked_plans, 0)
@@ -219,7 +239,7 @@ def dp_plan_prefetcher(batches: Iterable[Dict], spec, n_dev: int,
             group_spec = bucket_specs_list[bi]
         plans = [_host_plan_any(b["coords"], group_spec,
                                 b.get("normals") if use_normals else None,
-                                chunks=chunks, u_bump=u_bump)
+                                chunks=chunks, u_bump=u_bump, ns=ns)
                  for b in group]
         from occuseg_tpu.core.point_layout import (
             apply_point_layout, augment_plan_with_point_layout,
@@ -269,6 +289,15 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     n_dev = config.get("num_devices") or len(jax.devices())
     n_dev = min(n_dev, len(jax.devices()))
     batch_per_dev = max(config["batch_size"] // n_dev, 1)
+    # multi-scene per-chip batches default to the BLOCKED row layout
+    # (native/blocked.py): per-scene sub-caps so staging gathers stay at
+    # single-scene table footprints (XLA row gather collapses ~12.9x past
+    # ~100 MB source tables — PERF.md batch-4 breakdown). Spatial sharding
+    # splits by voxel range instead and keeps the concatenated layout.
+    blocked_ns = (batch_per_dev
+                  if batch_per_dev > 1 and config.get("blocked_batch", True)
+                  and int(config.get("spatial_shards", 0) or 0) <= 1
+                  else 1)
 
     tcfg = TrainConfig(
         lr=config["lr"],
@@ -349,7 +378,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             num_instances=i_cap,
             block_reps=config.get("block_reps", 1),
             residual_blocks=config.get("residual_blocks", True),
-            num_classes=config.get("class_num", 20)))
+            num_classes=config.get("class_num", 20)),
+            donate_argnums=0)
         step_fns = None
         # buckets compose with spatial sharding: the prefetcher picks the
         # bucket BEFORE prepare_shard_args (plan_prefetcher worker order),
@@ -375,10 +405,13 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
         state = replicate_state(state, mesh)
     else:
         def make_fn(s):
+            # donate_argnums=0: the TrainState is consumed every step —
+            # aliasing params/opt-state buffers saves the copy traffic
             return jax.jit(make_train_step(
                 model, s, tcfg, lcfg, num_scenes=batch_per_dev,
                 num_instances=i_cap,
-                use_normals=bool(config.get("use_normal"))))
+                use_normals=bool(config.get("use_normal"))),
+                donate_argnums=0)
         if buckets is not None:
             step_fns = [make_fn(s) for s in buckets]
             step_fn = step_fns[-1]
@@ -408,7 +441,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
             chunks=bool(config.get("chunk_conv", True)),
             u_bump=32 if batch_per_dev > 1 else 0,
             use_normals=bool(config.get("use_normal")),
-            bucket_specs_list=buckets)
+            bucket_specs_list=buckets, ns=blocked_ns)
 
     step = 0
     try:
@@ -428,7 +461,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     use_normals=bool(config.get("use_normal")),
                     bucket_specs_list=buckets,
                     chunks=bool(config.get("chunk_conv", True)),
-                    u_bump=32 if batch_per_dev > 1 else 0)
+                    u_bump=32 if batch_per_dev > 1 else 0,
+                    ns=blocked_ns)
             elif plan_pool is not None:
                 source = plan_pool.imap(batches)
             else:
@@ -442,7 +476,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                     use_normals=bool(config.get("use_normal")),
                     chunks=bool(config.get("chunk_conv", True))
                     and n_spatial <= 1,
-                    u_bump=32 if batch_per_dev > 1 else 0)
+                    u_bump=32 if batch_per_dev > 1 else 0,
+                    ns=blocked_ns)
             counters = CounterState()
             planes = tuple(int(x) for x in config["unet_structure"])
             for raw, host_plan, bucket_i in source:
@@ -455,7 +490,8 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                             host_plan, planes, config.get("block_reps", 1),
                             config.get("residual_blocks", True),
                             config["input_feature_number"]),
-                        sum(int(l.num_active) * planes[min(i, len(planes) - 1)]
+                        sum(int(np.sum(l.num_active))
+                            * planes[min(i, len(planes) - 1)]
                             for i, l in enumerate(host_plan.levels)),
                         scenes=batch_per_dev)
                 if n_dev > 1:
@@ -470,7 +506,7 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
                                 plan_d, planes, config.get("block_reps", 1),
                                 config.get("residual_blocks", True),
                                 config["input_feature_number"]),
-                            sum(int(l.num_active)
+                            sum(int(np.sum(l.num_active))
                                 * planes[min(i, len(planes) - 1)]
                                 for i, l in enumerate(plan_d.levels)),
                             scenes=batch_per_dev)

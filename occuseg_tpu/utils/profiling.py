@@ -21,6 +21,7 @@ from typing import Iterator, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from occuseg_tpu.core.topology import Topology
 from occuseg_tpu.ops.conv import conv_flops
@@ -57,7 +58,7 @@ def plan_muladd_count(plan: Topology, n_planes: Sequence[int],
         return int(conv_flops(plan.levels[level].nbr, cin, cout))
 
     def nin_pairs(level, cin, cout):
-        return int(plan.levels[level].num_active) * cin * cout
+        return int(np.sum(plan.levels[level].num_active)) * cin * cout
 
     total += sub(0, input_channels, n_planes[0])
     for l in range(L):
@@ -89,7 +90,8 @@ def plan_hidden_count(plan: Topology, n_planes: Sequence[int]) -> int:
     """Hidden-state count analog (`forward_pass_hidden_states`)."""
     total = 0
     for l, lvl in enumerate(plan.levels):
-        total += int(lvl.num_active) * n_planes[min(l, len(n_planes) - 1)]
+        total += (int(np.sum(lvl.num_active))
+                  * n_planes[min(l, len(n_planes) - 1)])
     return total
 
 
