@@ -9,6 +9,14 @@ scene is voxelized; we time jitted fwd+bwd steps of the m=64 UNet backbone
 `training_script/train_instance.sh`), measuring active voxels processed per
 second on one chip.
 
+Timing protocol: N steps run inside ONE jitted `lax.scan` dispatch, state
+(BN stats / TrainState) carried step to step and a 0-scaled loss token
+chained into the features so every iteration executes fully (no LICM
+hoisting, no backward DCE — the token is value-identical since f32 x*0 is
+not folded). One dispatch amortizes the dev tunnel's ~6 ms/dispatch RPC
+latency to <1 ms/step; the result matches the xplane device-busy time, and
+a production host drives per-step dispatches at <0.1 ms anyway.
+
 The topology plan is built by the C++ host runtime (native/plan.py) and
 passed to the step as data — in a training pipeline it is produced by the
 loader and overlaps device compute, exactly as the reference's host-side
@@ -63,8 +71,19 @@ def _prepare(seed: int):
     batch = make_batch(scene, num_scenes=NUM_SCENES, p_cap=P_CAP,
                        num_instances=64, seed=seed)
 
+    # multi-scene batches default to the BLOCKED per-scene row layout
+    # (native/blocked.py): staging gathers stay at single-scene table
+    # footprints (XLA row gather collapses ~12.9x past ~100 MB source
+    # tables — PERF.md batch-4). OCC_BLOCKED=0 reverts to the
+    # concatenated layout (+u_bump boundary margin) for A/Bs.
+    blocked = NUM_SCENES > 1 and _os.environ.get("OCC_BLOCKED", "1") != "0"
     t0 = time.perf_counter()
-    host_plan = build_plan_host(batch["coords"], spec)
+    if blocked:
+        from occuseg_tpu.native.blocked import build_plan_host_blocked
+        host_plan = build_plan_host_blocked(batch["coords"], spec,
+                                            NUM_SCENES)
+    else:
+        host_plan = build_plan_host(batch["coords"], spec)
     tier = 1.0
     if host_plan is not None:
         # chunk rulebooks for the fused Pallas conv kernel; geometry
@@ -81,8 +100,8 @@ def _prepare(seed: int):
         g_env = int(os.environ.get("OCC_GRANULE", 0) or 0)
         if g_env:
             kw["granule"] = g_env
-        if NUM_SCENES > 1:
-            kw["u_bump"] = 32
+        if NUM_SCENES > 1 and not blocked:
+            kw["u_bump"] = 32  # scene-boundary chunks (concat layout only)
         host_plan = chunk_conv.augment_plan_with_chunks(host_plan, **kw)
         tier = chunk_conv.LAST_TIER
         n_chunked = sum(l.chunks is not None for l in host_plan.levels)
@@ -101,7 +120,8 @@ def _prepare(seed: int):
         host_plan = jax.jit(
             lambda c: build_plan(c, spec))(jnp.asarray(batch["coords"]))
     plan = jax.tree.map(jnp.asarray, host_plan)
-    num_voxels = int(plan.levels[0].num_active)
+    import numpy as _np
+    num_voxels = int(_np.sum(host_plan.levels[0].num_active))
     print(f"seed {seed}: host plan build {t_plan * 1e3:.1f} ms, "
           f"{num_voxels} active voxels", file=sys.stderr)
     return batch, plan, num_voxels, tier
@@ -148,24 +168,48 @@ def main() -> None:
             True, mutable=["batch_stats"])
         return semantic_cross_entropy(logits, labels), mutated["batch_stats"]
 
+    # ---- timing harness: N steps inside ONE jitted lax.scan ----
+    # The dev tunnel adds ~6 ms of RPC latency per dispatch (CLAUDE.md);
+    # a production host drives steps at <0.1 ms, so the per-dispatch loop
+    # under-reports the chip. One scan dispatch amortizes the tunnel to
+    # <0.5 ms/step and matches the xplane device-busy time (the ground
+    # truth). Traps handled per CLAUDE.md: the carry token perturbs feats
+    # (0-scaled, value-identical — f32 x*0 is not folded) so XLA cannot
+    # hoist loop-invariant work (LICM); grads feed the token so the
+    # backward is not DCE'd; warmup uses PERTURBED feats (byte-identical
+    # re-dispatches get deduped by the tunnel); the sync is a host
+    # materialization of the token (block_until_ready is not reliable).
+    N_TIMED = 15
+
     @jax.jit
-    def fwd_bwd(params, batch_stats, feats, plan, labels):
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, feats, plan, labels)
-        return loss, new_stats, grads
+    def fwd_bwd_scan(batch_stats, feats, plan, labels):
+        def body(carry, _):
+            bs, tok = carry
+            f = feats + tok * 0  # chain: defeats LICM across iterations
+            (loss, bs2), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, bs, f, plan, labels)
+            g0 = sum(g.ravel()[0].astype(jnp.float32)
+                     for g in jax.tree.leaves(grads))
+            return (bs2, loss.astype(jnp.float32) + g0 * 0), None
 
-    loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats, plan,
-                                       labels)
-    jax.block_until_ready(grads)
+        (bs, tok), _ = jax.lax.scan(
+            body, (batch_stats, jnp.float32(0)), None, length=N_TIMED)
+        return bs, tok
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        loss, batch_stats, grads = fwd_bwd(params, batch_stats, feats, plan,
-                                           labels)
-    jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / n_iters
-    print(f"fwd+bwd step: {dt * 1e3:.1f} ms", file=sys.stderr)
+    def time_fwd_bwd(batch_stats, feats, plan, labels):
+        """(new_batch_stats, seconds/step) — one timed scan dispatch,
+        warmed with perturbed feats (tunnel dedup trap), synced by host
+        materialization of the chained token."""
+        _, warm_tok = fwd_bwd_scan(batch_stats, feats + 1e-3, plan, labels)
+        float(warm_tok)  # host sync
+        t0 = time.perf_counter()
+        bs, tok = fwd_bwd_scan(batch_stats, feats, plan, labels)
+        float(tok)  # host materialization = the only reliable tunnel sync
+        return bs, (time.perf_counter() - t0) / N_TIMED
+
+    batch_stats, dt = time_fwd_bwd(batch_stats, feats, plan, labels)
+    print(f"fwd+bwd step: {dt * 1e3:.1f} ms "
+          f"({N_TIMED} steps / 1 dispatch)", file=sys.stderr)
 
     voxels_per_sec = num_voxels / dt
 
@@ -177,14 +221,9 @@ def main() -> None:
         for seed in seeds[1:]:
             b, p, nv, tier = _prepare(seed)
             f, lb = jnp.asarray(b["features"]), jnp.asarray(b["labels"])
-            bs = batch_stats
-            _, bs, g = fwd_bwd(params, bs, f, p, lb)  # warmup/compile
-            jax.block_until_ready(g)
-            t0 = time.perf_counter()
-            for _ in range(5):
-                _, bs, g = fwd_bwd(params, bs, f, p, lb)
-            jax.block_until_ready(g)
-            dts = (time.perf_counter() - t0) / 5
+            # same cap-static shapes -> the scan program is reused (a
+            # looser U tier adds at most one compile)
+            batch_stats, dts = time_fwd_bwd(batch_stats, f, p, lb)
             sweep[seed] = round(nv / dts, 1)
             tiers_used[seed] = tier
             print(f"seed {seed}: fwd+bwd {dts * 1e3:.1f} ms "
@@ -213,16 +252,36 @@ def main() -> None:
         batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
         state = create_train_state(flagship, jax.random.PRNGKey(0), batch_j,
                                    spec)
-        step = jax.jit(make_train_step(flagship, spec, num_scenes=NUM_SCENES,
-                                       num_instances=64))
-        state, parts = step(state, batch_j, plan)
-        jax.block_until_ready(parts)
+        # same scan harness as the backbone: N steps / 1 dispatch (the
+        # token chains state->features so no iteration work is hoisted or
+        # DCE'd; the state carry itself chains the grads/Adam update)
+        N_FULL = 10
+        raw_step = make_train_step(flagship, spec, num_scenes=NUM_SCENES,
+                                   num_instances=64)
+
+        @jax.jit
+        def flagship_scan(state, batch, plan):
+            def body(carry, _):
+                st, tok = carry
+                b = dict(batch)
+                b["features"] = batch["features"] + tok * 0
+                st2, parts = raw_step(st, b, plan)
+                return (st2, parts["total"].astype(jnp.float32)), None
+
+            (st, tok), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), None, length=N_FULL)
+            return st, tok
+
+        warm_batch = dict(batch_j)
+        warm_batch["features"] = batch_j["features"] + 1e-3
+        _, wtok = flagship_scan(state, warm_batch, plan)  # compile/warm
+        float(wtok)  # host sync (dedup trap: warm args differ from timed)
         t0 = time.perf_counter()
-        for _ in range(5):
-            state, parts = step(state, batch_j, plan)
-        jax.block_until_ready(parts)
-        dt_full = (time.perf_counter() - t0) / 5
-        print(f"flagship train step: {dt_full * 1e3:.1f} ms",
+        state, tok = flagship_scan(state, batch_j, plan)
+        total = float(tok)  # host materialization = the reliable sync
+        dt_full = (time.perf_counter() - t0) / N_FULL
+        print(f"flagship train step: {dt_full * 1e3:.1f} ms "
+              f"({N_FULL} steps / 1 dispatch, last total={total:.3f})",
               file=sys.stderr)
         print(json.dumps({
             "metric": "flagship_train_step_voxels_per_sec_per_chip",
