@@ -179,7 +179,7 @@ def main() -> None:
     # backward is not DCE'd; warmup uses PERTURBED feats (byte-identical
     # re-dispatches get deduped by the tunnel); the sync is a host
     # materialization of the token (block_until_ready is not reliable).
-    N_TIMED = 15
+    N_TIMED = 20
 
     @jax.jit
     def fwd_bwd_scan(batch_stats, feats, plan, labels):
@@ -255,7 +255,7 @@ def main() -> None:
         # same scan harness as the backbone: N steps / 1 dispatch (the
         # token chains state->features so no iteration work is hoisted or
         # DCE'd; the state carry itself chains the grads/Adam update)
-        N_FULL = 10
+        N_FULL = 20
         raw_step = make_train_step(flagship, spec, num_scenes=NUM_SCENES,
                                    num_instances=64)
 

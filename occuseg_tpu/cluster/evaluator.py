@@ -163,3 +163,40 @@ def instance_average_precision(
         "ap_per_class": ap,
         "mAP": float(np.mean(ap[valid])) if valid.any() else 0.0,
     }
+
+
+def per_proposal_statistics(props: List[List[np.ndarray]],
+                            gts: List[List[np.ndarray]],
+                            semantic_pred: np.ndarray,
+                            iou_threshold: float = 0.5,
+                            width: int = 1000) -> np.ndarray:
+    """Reference-parity per-proposal statistics block for ONE scene
+    (`evaluate_instance.py:1507-1552`): a [num_classes, 5, width] array,
+    -1-initialized, whose rows per class are
+      0: tp     — 1 if the proposal's best-IoU GT of that class >= thr
+      1: fp     — 1 - tp
+      2: size   — proposal point count
+      3: conf   — fraction of proposal points predicted as the class
+      4: overlap— best IoU against the class's GT instances
+    Stacked over scenes and exported as instance_stat.mat 'stats'
+    (reference `:1699`, shape [files, class_num, 5, 1000])."""
+    num_classes = len(props)
+    out = np.full((num_classes, 5, width), -1.0, np.float64)
+    sem = np.asarray(semantic_pred).reshape(-1)
+    for c in range(num_classes):
+        n = min(len(props[c]), width)
+        for pid in range(n):
+            u = props[c][pid]
+            overlap = 0.0
+            for v in gts[c]:
+                inter = np.sum(u & v)
+                union = np.sum(u | v)
+                iou = inter / union if union else 0.0
+                overlap = max(overlap, iou)
+            size = float(np.sum(u))
+            out[c, 0, pid] = 1.0 if overlap >= iou_threshold else 0.0
+            out[c, 1, pid] = 0.0 if overlap >= iou_threshold else 1.0
+            out[c, 2, pid] = size
+            out[c, 3, pid] = float(np.sum(sem[u] == c)) / max(size, 1.0)
+            out[c, 4, pid] = overlap
+    return out

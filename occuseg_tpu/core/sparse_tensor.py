@@ -30,6 +30,10 @@ def active_mask(num_active: jnp.ndarray, cap: int) -> jnp.ndarray:
     if jnp.ndim(num_active) == 0:
         return rows < num_active
     ns = num_active.shape[0]
+    assert cap % ns == 0, (
+        f"blocked layout requires cap ({cap}) to be a multiple of the "
+        f"scene count ({ns}); with a remainder, tail rows would be "
+        f"silently masked by the last scene's count")
     sc = cap // ns
     return rows % sc < num_active[rows // sc]
 

@@ -26,6 +26,16 @@ class SceneConfig:
     num_classes: int = 20
     scale: float = 50.0        # voxels per meter (2cm voxels)
     rng_seed: int = 0
+    # > 0: replace the free-floating furniture with this many TOUCHING
+    # TRIPLES — three same-class, same-size boxes sharing faces in a row.
+    # Spatial clustering merges a triple into one proposal (IoU 1/3 per GT
+    # instance, < 0.5), so instance separation must come from the learned
+    # displacement field contracting each member toward its own center —
+    # the scene family that makes the displacement head load-bearing for
+    # the AP gate (tests/test_accuracy_ap_gate.py), mirroring the adjacent
+    # same-class furniture the reference's drift term targets
+    # (train_instance.py:217-236).
+    touching_triples: int = 0
 
 
 def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
@@ -60,6 +70,36 @@ def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
     parts.append((wall, 0, -1, wall_n))     # class 0 = wall
 
     n_obj_total = n - n_floor - n_wall
+    if cfg.touching_triples > 0:
+        # rows of three face-sharing boxes: same class, same size, same
+        # appearance — only positions (and hence GT centers/displacements)
+        # distinguish the members
+        per_obj = n_obj_total // (3 * cfg.touching_triples)
+        iid = 0
+        for t in range(cfg.touching_triples):
+            half = rng.uniform(E * 0.04, E * 0.08, 3)
+            base = rng.uniform(E * 0.15, E * 0.7, 3)
+            base[0] = rng.uniform(2 + half[0], E * 0.3)
+            cls = int(rng.integers(2, cfg.num_classes))
+            for m in range(3):
+                center = base.copy()
+                center[1] += m * 2 * half[1]  # share y faces
+                face = rng.integers(0, 6, per_obj)
+                u = rng.uniform(-1, 1, (per_obj, 3))
+                ax = face % 3
+                u[np.arange(per_obj), ax] = np.sign(face - 2.5)
+                pts = center + u * half
+                nrm = np.zeros((per_obj, 3), np.float32)
+                nrm[np.arange(per_obj), 2 - ax] = np.sign(face - 2.5)
+                parts.append((pts, cls, iid, nrm))
+                iid += 1
+        coords, labels, inst, normals = [], [], [], []
+        for pts, cls, iid_, nrm in parts:
+            coords.append(pts)
+            labels.append(np.full(pts.shape[0], cls, np.int32))
+            inst.append(np.full(pts.shape[0], iid_, np.int32))
+            normals.append(nrm)
+        return _finalize(cfg, rng, coords, labels, inst, normals)
     per_obj = n_obj_total // cfg.num_objects
     for k in range(cfg.num_objects):
         center = rng.uniform(E * 0.1, E * 0.9, 3)
@@ -89,6 +129,12 @@ def generate_scene(cfg: SceneConfig, seed: int) -> Dict[str, np.ndarray]:
         labels.append(np.full(pts.shape[0], cls, np.int32))
         inst.append(np.full(pts.shape[0], iid, np.int32))
         normals.append(nrm)
+    return _finalize(cfg, rng, coords, labels, inst, normals)
+
+
+def _finalize(cfg: SceneConfig, rng, coords, labels, inst, normals
+              ) -> Dict[str, np.ndarray]:
+    E = cfg.extent
     coords = np.clip(np.concatenate(coords), 0, E - 1)
     labels = np.concatenate(labels)
     inst = np.concatenate(inst)

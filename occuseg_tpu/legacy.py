@@ -346,3 +346,61 @@ def Sparsify(dimension=3, cap: int = 65536, threshold: float = 0.0):
         return sparsify_coords(x, plan, cap, threshold)
 
     return convert
+
+
+def append_tensors(entries):
+    """Concatenate sparse tensors batch-wise (reference `utils.py:142-151`
+    append_tensors + `Metadata.cpp:245-258` appendMetadata: later tensors'
+    scenes become additional batch entries with their active rows offset).
+
+    `entries`: sequence of (SparseTensor, Topology) pairs, all built at the
+    SAME per-level caps (the reference analogously requires one
+    spatial_size) and with scalar num_active (single-scene tensors).
+    Returns (SparseTensor, Topology): features row-concatenated, num_active
+    an [ns] per-scene vector, and a BLOCKED-layout merged plan (scene s owns
+    rows [s*cap, s*cap+n_s) at every level — `native/blocked.py`); batch
+    columns of the merged coords are renumbered 0..ns-1. Chunk rulebooks
+    are not carried over — re-run `augment_plan_with_chunks(plan)` on the
+    result if the fused kernels are wanted.
+    """
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from occuseg_tpu.native.blocked import merge_scene_plans
+
+    tensors = [t for t, _ in entries]
+    plans = [jax.device_get(p) for _, p in entries]
+    lvl = tensors[0].level
+    assert all(t.level == lvl for t in tensors), \
+        "append_tensors requires tensors on the same topology level"
+    scaps = tuple(np.asarray(l.keys).shape[0] for l in plans[0].levels)
+    for p in plans[1:]:
+        pc = tuple(np.asarray(l.keys).shape[0] for l in p.levels)
+        assert pc == scaps, f"per-level caps differ: {pc} vs {scaps}"
+
+    merged = merge_scene_plans(plans, scaps)
+    # renumber batch columns: scene s's voxels become batch entry s
+    new_levels = []
+    for li, mlvl in enumerate(merged.levels):
+        coords = np.asarray(mlvl.coords).copy()
+        for s in range(len(plans)):
+            blk = coords[s * scaps[li]:(s + 1) * scaps[li]]
+            blk[:, 0] = np.where(blk[:, 0] >= 0, s, blk[:, 0])
+        new_levels.append(_dc.replace(mlvl, coords=coords))
+    # p2v: original point order per scene, rows shifted into scene blocks
+    p2v = np.concatenate([
+        np.where(np.asarray(p.p2v) >= 0,
+                 np.asarray(p.p2v) + s * scaps[0], -1).astype(np.int32)
+        for s, p in enumerate(plans)])
+    merged = _dc.replace(merged, levels=tuple(new_levels), p2v=p2v)
+
+    import jax.numpy as jnp
+    feats = jnp.concatenate([t.features for t in tensors], axis=0)
+    num_active = jnp.stack(
+        [jnp.asarray(t.num_active, jnp.int32).reshape(()) for t in tensors])
+    out = SparseTensor(features=feats, num_active=num_active, level=lvl)
+    return out, merged
+
+
+import jax  # noqa: E402  (used by append_tensors' device_get)

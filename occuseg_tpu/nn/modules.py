@@ -140,7 +140,8 @@ class SubmanifoldConvolution(nn.Module):
                                     lvl.chunks.lidx, w_eff,
                                     granule=lvl.chunks.granule,
                                     tmask=lvl.chunks.tmask,
-                                    ns=lvl.chunks.ns)
+                                    ns=lvl.chunks.ns,
+                                    center_k=lvl.chunks.center_k)
             if b is not None:
                 out = out + b.astype(out.dtype)
         else:

@@ -100,6 +100,15 @@ class ChunkPlan:
     # batch-4 breakdown), so multi-scene batches must never gather from
     # the full table.
     ns: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # IDENTITY CENTER TAP: for submanifold maps the center offset is the
+    # identity (nbr[r, K//2] == r — verified host-side at plan build), so
+    # the kernels replace that offset's one-hot build + [M,U]@[U,Cin] MXU
+    # permutation with a masked VMEM copy of the chunk's own rows —
+    # bit-identical output, ~1/K of the dominant one-hot FLOPs removed.
+    # -1 = no identity center (transition maps, oriented plans that break
+    # the property, or detection off).
+    center_k: int = dataclasses.field(metadata=dict(static=True),
+                                      default=-1)
 
     @property
     def geometry(self) -> Tuple[int, int, int, int]:
@@ -192,7 +201,7 @@ def _tile_stack_ok(M: int, U: int, cin: int, G: int, esize: int) -> bool:
 
 
 def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
-             tm_kg=0):
+             tm_kg=0, self_ref=None, c_l: int = -1, c_here=None):
     """Stage G offsets' gathered rows into g_scratch [M, G*cin] via one-hot
     MXU products (lidx == -1 rows come out zero for free).
     lidx_ref block is [1, 1, G, M] (4D so the G dim can be non-8-aligned);
@@ -205,11 +214,22 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
     into TILE-wide column tiles and unreferenced tiles are skipped — each
     output row comes from exactly ONE slot (the one-hot has a single 1 per
     row over the FULL U), so skipped tiles contribute exact zeros and the
-    per-tile accumulation is bit-identical to the single [M, U] product."""
+    per-tile accumulation is bit-identical to the single [M, U] product.
+
+    IDENTITY CENTER TAP (self_ref [1, M, cin], c_l = center's k WITHIN this
+    group, c_here = traced "center group is this grid step" bool or None
+    for statically-yes): offset c_l's staged block is the chunk's own rows,
+    so it is a masked copy of self_ref instead of a one-hot MXU product —
+    the one-hot picks exactly those rows (bit-identical), this just skips
+    building it. Masking on lidx >= 0 keeps pad rows zero regardless of
+    the (zeroed, but unverified) pad feature contract."""
     G, M = lidx_ref.shape[2], lidx_ref.shape[3]
     Ur, Cr = gin_ref.shape[1], gin_ref.shape[2]
     r = Cr // cin
     gin = gin_ref[0]
+    if self_ref is not None:
+        assert r == 1, "center tap assumes unpacked lanes"
+        assert tm_ref is None, "center tap is disabled under tile skipping"
     if tm_ref is not None:
         assert r == 1, "tile skipping assumes unpacked lanes"
         for k in range(G):
@@ -235,6 +255,30 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
     iota = jax.lax.broadcasted_iota(jnp.int32, (M, Ur), 1)
     for k in range(G):
         l = lidx_ref[0, 0, k, :]
+        if self_ref is not None and k == c_l:
+            ks = slice(k * cin, (k + 1) * cin)
+
+            def _copy(l=l, ks=ks):
+                # minor-dim insert on the i32 value, THEN compare — Mosaic
+                # cannot insert a minor dim on sub-32-bit (i1) vectors
+                g_scratch[:, ks] = jnp.where(
+                    l[:, None] >= 0, self_ref[0],
+                    jnp.zeros((M, cin), self_ref.dtype)
+                ).astype(g_scratch.dtype)
+
+            def _dot(l=l, ks=ks):
+                oh = (l[:, None] == iota).astype(gin.dtype)
+                g_scratch[:, ks] = jax.lax.dot_general(
+                    oh, gin, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).astype(g_scratch.dtype)
+
+            if c_here is None:
+                _copy()
+            else:
+                pl.when(c_here)(_copy)
+                pl.when(jnp.logical_not(c_here))(_dot)
+            continue
         if r == 1:
             oh = (l[:, None] == iota).astype(gin.dtype)
             g = jax.lax.dot_general(
@@ -252,16 +296,25 @@ def _build_g(lidx_ref, gin_ref, g_scratch, cin: int, tm_ref=None,
         g_scratch[:, k * cin:(k + 1) * cin] = g.astype(g_scratch.dtype)
 
 
-def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False):
+def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False,
+                     center: int = -1):
     def kernel(nz_ref, *args):
         """Grid (C, CO, KG), kg fastest: the f32 accumulator spans the
         contiguous kg revisits of one (chunk, Cout-block); out is written
         once at the last kg. All-pad chunks (nz==0, beyond num_active or a
         loose bucket cap) skip the one-hot build and matmuls entirely."""
         tm_ref = args[0] if tiled else None
-        lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc = args[tiled:]
+        centered = center >= 0
+        self_ref = args[tiled] if centered else None
+        rest = args[tiled + centered:]
+        lidx_ref, gin_ref, w_ref, out_ref, g_scratch, acc = rest
         kg = pl.program_id(2)
         nz = nz_ref[0, 0, 0] > 0
+        G = lidx_ref.shape[2]
+        c_l = center % G if centered else -1
+        c_here = None
+        if centered and n_kg > 1:
+            c_here = kg == center // G
 
         @pl.when(kg == 0)
         def _():
@@ -271,11 +324,13 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False):
             # single k-group: the staged G is valid for every Cout block
             @pl.when(nz & (pl.program_id(1) == 0))
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg,
+                         self_ref, c_l, c_here)
         else:
             @pl.when(nz)
             def _():
-                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
+                _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg,
+                         self_ref, c_l, c_here)
 
         @pl.when(nz)
         def _():
@@ -290,15 +345,18 @@ def _make_fwd_kernel(n_kg: int, n_co: int, cin: int, tiled: bool = False):
     return kernel
 
 
-def _make_bwd_fused_kernel(n_c: int, cin: int, tiled: bool = False):
+def _make_bwd_fused_kernel(n_c: int, cin: int, tiled: bool = False,
+                           center: int = -1):
     def kernel(nz_ref, *args):
         """Fused backward (grid (C,)): the staged-Gct scratch serves BOTH
         d_feats (Gct @ W') and dW (feats_c^T @ Gct) — one one-hot build
         instead of two. dW accumulates across the contiguous c revisits;
         all-pad chunks skip everything but zero writes."""
         tm_ref = args[0] if tiled else None
+        centered = center >= 0
+        self_ref = args[tiled] if centered else None
         (lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
-         g_scratch) = args[tiled:]
+         g_scratch) = args[tiled + centered:]
         c = pl.program_id(0)
         nz = nz_ref[0, 0, 0] > 0
 
@@ -308,7 +366,10 @@ def _make_bwd_fused_kernel(n_c: int, cin: int, tiled: bool = False):
 
         @pl.when(nz)
         def _():
-            _build_g(lidx_ref, gct_ref, g_scratch, cin, tm_ref)
+            # single k-group (G == K): the center's in-group index is the
+            # global one, statically in this grid step
+            _build_g(lidx_ref, gct_ref, g_scratch, cin, tm_ref,
+                     self_ref=self_ref, c_l=center)
             dfeats_ref[0] = jax.lax.dot_general(
                 g_scratch[:], wt_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -353,10 +414,12 @@ def _bwd_fused_eligible(K, M, Ct_in, cin, cout, esize) -> bool:
 
 
 def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret,
-                      tmask=None):
+                      tmask=None, self_c=None, center=-1):
     """d_feats [C*M, out_cin] and dW-transposed [out_cin, K*Ct] in one pass.
     t_lidx/gct are the TRANSPOSE-direction chunk plan over d_feats rows;
-    feats_c is the forward input chunked the same way [C, M, out_cin]."""
+    feats_c is the forward input chunked the same way [C, M, out_cin].
+    self_c [C, M, Ct] = the cotangent's own chunk rows for the identity
+    center tap (`center` = global center offset, -1 disables)."""
     C, K, M = t_lidx.shape
     U, Ct = gct.shape[1], gct.shape[2]
     t_lidx = t_lidx.reshape(C, 1, K, M)
@@ -366,18 +429,24 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret,
     tiled = (tmask is not None and r == 1
              and _tile_stack_ok(M, U, Ct, K,
                                 jnp.dtype(gct.dtype).itemsize))
+    if tiled or r != 1 or self_c is None:
+        center = -1
     tm = (tmask.reshape(C, 1, K),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, 1, K), lambda c: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
-    nz, t_lidx, gct, w_t, feats_c, *tm = _match_vma(nz, t_lidx, gct, w_t,
-                                                    feats_c, *tm)
+    sc = (self_c,) if center >= 0 else ()
+    sc_spec = [pl.BlockSpec((1, M, Ct), lambda c: (c, 0, 0),
+                            memory_space=pltpu.VMEM)] if center >= 0 else []
+    nz, t_lidx, gct, w_t, feats_c, *extra = _match_vma(
+        nz, t_lidx, gct, w_t, feats_c, *tm, *sc)
     d_feats, dw_t = pl.pallas_call(
-        _make_bwd_fused_kernel(C, Ct, tiled),
+        _make_bwd_fused_kernel(C, Ct, tiled, center),
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             *tm_spec,
+            *sc_spec,
             pl.BlockSpec((1, 1, K, M), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Ct), lambda c: (c, 0, 0),
@@ -399,12 +468,12 @@ def _pallas_bwd_fused(t_lidx, gct, w_t, feats_c, out_cin, interpret,
         ),
         scratch_shapes=[pltpu.VMEM((M, K * Ct), gct.dtype)],
         interpret=interpret,
-    )(nz, *tm, t_lidx, gct, w_t, feats_c)
+    )(nz, *extra, t_lidx, gct, w_t, feats_c)
     return d_feats, dw_t
 
 
 def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int,
-                              tiled: bool = False):
+                              tiled: bool = False, center: int = -1):
     def kernel(nz_ref, *args):
         """k-grouped fused backward (grid (C, KG), kg fastest) for convs
         whose full weight set exceeds the v1 budget: the dW accumulator
@@ -414,11 +483,16 @@ def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int,
         d_feats accumulates across the contiguous kg revisits in an f32
         scratch like the forward kernel."""
         tm_ref = args[0] if tiled else None
+        centered = center >= 0
+        self_ref = args[tiled] if centered else None
         (lidx_ref, gct_ref, wt_ref, feats_ref, dfeats_ref, dw_ref,
-         g_scratch, acc) = args[tiled:]
+         g_scratch, acc) = args[tiled + centered:]
         c = pl.program_id(0)
         kg = pl.program_id(1)
         nz = nz_ref[0, 0, 0] > 0
+        G = lidx_ref.shape[2]
+        c_l = center % G if centered else -1
+        c_here = (kg == center // G) if centered and n_kg > 1 else None
 
         @pl.when(kg == 0)
         def _():
@@ -430,7 +504,8 @@ def _make_bwd_fused_v2_kernel(n_c: int, n_kg: int, ct: int,
 
         @pl.when(nz)
         def _():
-            _build_g(lidx_ref, gct_ref, g_scratch, ct, tm_ref, kg)
+            _build_g(lidx_ref, gct_ref, g_scratch, ct, tm_ref, kg,
+                     self_ref, c_l, c_here)
             acc[:] += jax.lax.dot_general(
                 g_scratch[:], wt_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -470,7 +545,7 @@ def _bwd_fused_v2_grouping(K, M, Ct_in, cin, U, esize) -> int:
 
 
 def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
-                         tmask=None):
+                         tmask=None, self_c=None, center=-1):
     """Same contract as _pallas_bwd_fused, with K split into groups of G."""
     C, K, M = t_lidx.shape
     U, Ct = gct.shape[1], gct.shape[2]
@@ -480,18 +555,24 @@ def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
     tiled = (tmask is not None
              and _tile_stack_ok(M, U, Ct, G,
                                 jnp.dtype(gct.dtype).itemsize))
+    if tiled or self_c is None:
+        center = -1
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
-    nz, t_lidx, gct, w_t, feats_c, *tm = _match_vma(nz, t_lidx, gct, w_t,
-                                                    feats_c, *tm)
+    sc = (self_c,) if center >= 0 else ()
+    sc_spec = [pl.BlockSpec((1, M, Ct), lambda c, kg: (c, 0, 0),
+                            memory_space=pltpu.VMEM)] if center >= 0 else []
+    nz, t_lidx, gct, w_t, feats_c, *extra = _match_vma(
+        nz, t_lidx, gct, w_t, feats_c, *tm, *sc)
     d_feats, dw_t = pl.pallas_call(
-        _make_bwd_fused_v2_kernel(C, n_kg, Ct, tiled),
+        _make_bwd_fused_v2_kernel(C, n_kg, Ct, tiled, center),
         grid=(C, n_kg),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c, kg: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             *tm_spec,
+            *sc_spec,
             pl.BlockSpec((1, 1, G, M), lambda c, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U, Ct), lambda c, kg: (c, 0, 0),
@@ -514,22 +595,29 @@ def _pallas_bwd_fused_v2(t_lidx, gct, w_t, feats_c, out_cin, G, interpret,
         scratch_shapes=[pltpu.VMEM((M, G * Ct), gct.dtype),
                         pltpu.VMEM((M, out_cin), jnp.float32)],
         interpret=interpret,
-    )(nz, *tm, t_lidx, gct, w_t, feats_c)
+    )(nz, *extra, t_lidx, gct, w_t, feats_c)
     # [n_kg, cin, G*Ct] -> [cin, K*Ct] with offset blocks in K order
     dw_t = jnp.transpose(dw_t, (1, 0, 2)).reshape(out_cin, K * Ct)
     return d_feats, dw_t
 
 
-def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False):
+def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False,
+                    center: int = -1, n_kg: int = 1):
     def kernel(nz_ref, *args):
         """Grid (KG, CO, C), c fastest: each dW block's chunk revisits are
         contiguous, so read-modify-write accumulation is safe."""
         tm_ref = args[0] if tiled else None
-        lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch = args[tiled:]
+        centered = center >= 0
+        self_ref = args[tiled] if centered else None
+        lidx_ref, gin_ref, ct_ref, dw_ref, g_scratch = \
+            args[tiled + centered:]
         c = pl.program_id(2)
         # read at top level: program_id under a pl.when cond jaxpr is not
         # substituted by the interpret-mode evaluator
         kg = pl.program_id(0)
+        G = lidx_ref.shape[2]
+        c_l = center % G if centered else -1
+        c_here = (kg == center // G) if centered and n_kg > 1 else None
 
         @pl.when(c == 0)
         def _():
@@ -537,7 +625,8 @@ def _make_dw_kernel(n_c: int, cin: int, tiled: bool = False):
 
         @pl.when(nz_ref[0, 0, 0] > 0)
         def _():
-            _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg)
+            _build_g(lidx_ref, gin_ref, g_scratch, cin, tm_ref, kg,
+                     self_ref, c_l, c_here)
             dw_ref[:] += jax.lax.dot_general(
                 g_scratch[:], ct_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -554,7 +643,8 @@ def _chunk_nonempty(lidx4, C, n_kg, G, M) -> jnp.ndarray:
     return flag.astype(jnp.int32).reshape(C, 1, 1)
 
 
-def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
+def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None,
+                self_c=None, center=-1):
     C, K, M = lidx.shape
     U, Cin = gin.shape[1], gin.shape[2]
     Cout = w_flat.shape[1]
@@ -568,17 +658,24 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
     nz = _chunk_nonempty(lidx, C, n_kg, G, M)
     tiled = (tmask is not None and r == 1
              and _tile_stack_ok(M, U, Cin, G, esize))
+    if tiled or r != 1 or self_c is None:
+        center = -1
     tm = (tmask.reshape(C, n_kg, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, n_kg, G), lambda c, co, kg: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
-    nz, lidx, gin, w_flat, *tm = _match_vma(nz, lidx, gin, w_flat, *tm)
+    sc = (self_c,) if center >= 0 else ()
+    sc_spec = [pl.BlockSpec((1, M, Cin), lambda c, co, kg: (c, 0, 0),
+                            memory_space=pltpu.VMEM)] if center >= 0 else []
+    nz, lidx, gin, w_flat, *extra = _match_vma(nz, lidx, gin, w_flat,
+                                               *tm, *sc)
     return pl.pallas_call(
-        _make_fwd_kernel(n_kg, n_co, Cin, tiled),
+        _make_fwd_kernel(n_kg, n_co, Cin, tiled, center),
         grid=(C, n_co, n_kg),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda c, co, kg: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             *tm_spec,
+            *sc_spec,
             pl.BlockSpec((1, 1, G, M), lambda c, co, kg: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin),
@@ -593,10 +690,11 @@ def _pallas_fwd(lidx, gin, w_flat, out_dtype, interpret, tmask=None):
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype),
                         pltpu.VMEM((M, co_blk), jnp.float32)],
         interpret=interpret,
-    )(nz, *tm, lidx, gin, w_flat)
+    )(nz, *extra, lidx, gin, w_flat)
 
 
-def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
+def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None, self_c=None,
+               center=-1):
     C, K, M = lidx.shape
     U, Cin = gin.shape[1], gin.shape[2]
     Cout = ct_c.shape[2]
@@ -609,17 +707,24 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
     tiled = (tmask is not None and r == 1
              and _tile_stack_ok(M, U, Cin, G,
                                 jnp.dtype(gin.dtype).itemsize))
+    if tiled or r != 1 or self_c is None:
+        center = -1
     tm = (tmask.reshape(C, K // G, G),) if tiled else ()
     tm_spec = [pl.BlockSpec((1, K // G, G), lambda kg, co, c: (c, 0, 0),
                             memory_space=pltpu.SMEM)] if tiled else []
-    nz, lidx, gin, ct_c, *tm = _match_vma(nz, lidx, gin, ct_c, *tm)
+    sc = (self_c,) if center >= 0 else ()
+    sc_spec = [pl.BlockSpec((1, M, Cin), lambda kg, co, c: (c, 0, 0),
+                            memory_space=pltpu.VMEM)] if center >= 0 else []
+    nz, lidx, gin, ct_c, *extra = _match_vma(nz, lidx, gin, ct_c,
+                                             *tm, *sc)
     return pl.pallas_call(
-        _make_dw_kernel(C, Cin, tiled),
+        _make_dw_kernel(C, Cin, tiled, center, K // G),
         grid=(K // G, Cout // co_blk, C),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda kg, co, c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             *tm_spec,
+            *sc_spec,
             pl.BlockSpec((1, 1, G, M), lambda kg, co, c: (c, kg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U // r, r * Cin), lambda kg, co, c: (c, 0, 0),
@@ -633,7 +738,7 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None):
         out_shape=_sds((K * Cin, Cout), jnp.float32, gin),
         scratch_shapes=[pltpu.VMEM((M, G * Cin), gin.dtype)],
         interpret=interpret,
-    )(nz, *tm, lidx, gin, ct_c)
+    )(nz, *extra, lidx, gin, ct_c)
 
 
 def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
@@ -683,28 +788,34 @@ def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
 
 
 def _fwd_impl(feats, in_idx, lidx, weight, granule=1,
-              return_gin: bool = False, tmask=None, ns=1):
+              return_gin: bool = False, tmask=None, ns=1, center=-1):
     K, Cin, Cout = weight.shape
     out_dtype = feats.dtype
     gin = _stage(feats, in_idx, granule, ns)
     w_flat = weight.astype(out_dtype).reshape(K * Cin, Cout)
+    C, _, M = lidx.shape
+    self_c = feats.reshape(C, M, Cin) if center >= 0 else None
     with jax.enable_x64(False):
         out = _pallas_fwd(lidx, gin, w_flat, out_dtype,
-                          _interpret_default(), tmask)
+                          _interpret_default(), tmask, self_c, center)
     out = out.reshape(-1, Cout)
     return (out, gin) if return_gin else out
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sub_conv(granule: int, ns: int = 1):
+def _make_sub_conv(granule: int, ns: int = 1, center: int = -1):
     """custom_vjp instance for a (static) staging granule. `tmask` (an
     array or None) is the one-hot tile-skip bitmask for lidx — the
-    submanifold map is self-transpose, so the backward reuses it."""
+    submanifold map is self-transpose, so the backward reuses it.
+    `center`: identity-center offset index (ChunkPlan.center_k) — the
+    center's staged block is the chunk's own rows, copied instead of
+    one-hot-built, in forward AND backward (K-1-center == center under
+    offset reversal for the cubic kernels this applies to)."""
 
     @jax.custom_vjp
     def f(feats, in_idx, lidx, tmask, weight):
         return _fwd_impl(feats, in_idx, lidx, weight, granule, tmask=tmask,
-                         ns=ns)
+                         ns=ns, center=center)
 
     def fwd(feats, in_idx, lidx, tmask, weight):
         # when the fused backward will NOT apply (decided by STATIC shapes),
@@ -718,11 +829,12 @@ def _make_sub_conv(granule: int, ns: int = 1):
                                            in_idx.shape[1], esize) > 0)
         if fused:
             out = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                            tmask=tmask, ns=ns)
+                            tmask=tmask, ns=ns, center=center)
             gin = None
         else:
             out, gin = _fwd_impl(feats, in_idx, lidx, weight, granule,
-                                 return_gin=True, tmask=tmask, ns=ns)
+                                 return_gin=True, tmask=tmask, ns=ns,
+                                 center=center)
         return out, (feats, in_idx, lidx, tmask, weight, gin)
 
     def bwd(res, ct):
@@ -732,6 +844,10 @@ def _make_sub_conv(granule: int, ns: int = 1):
         C, _, M = lidx.shape
         interpret = _interpret_default()
         esize = jnp.dtype(feats.dtype).itemsize
+        # center tap in the backward: the staged source is ct, so the
+        # center's own-rows block is ct chunked. K-1-center == center
+        # (odd cubic kernels), so the weight reversal keeps the pairing.
+        ct_self = ctc.reshape(C, M, Cout) if center >= 0 else None
 
         # d_feats[i] = sum_k ct[nbr[i,k]] @ W[K-1-k]^T — the same chunked
         # conv over ct with reversed-transposed weights; and because that
@@ -745,7 +861,8 @@ def _make_sub_conv(granule: int, ns: int = 1):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused(
                     lidx, gct, w_rev_t.reshape(K * Cout, Cin),
-                    feats.reshape(C, M, Cin), Cin, interpret, tmask)
+                    feats.reshape(C, M, Cin), Cin, interpret, tmask,
+                    ct_self, center)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2))[::-1].astype(weight.dtype)
             return (d_feats.reshape(-1, Cin), None, None, None, d_w)
@@ -756,7 +873,8 @@ def _make_sub_conv(granule: int, ns: int = 1):
             with jax.enable_x64(False):
                 d_feats, dw_t = _pallas_bwd_fused_v2(
                     lidx, gct, w_rev_t.reshape(K * Cout, Cin),
-                    feats.reshape(C, M, Cin), Cin, G2, interpret, tmask)
+                    feats.reshape(C, M, Cin), Cin, G2, interpret, tmask,
+                    ct_self, center)
             d_w = jnp.transpose(dw_t.reshape(Cin, K, Cout),
                                 (1, 0, 2))[::-1].astype(weight.dtype)
             return (d_feats.reshape(-1, Cin), None, None, None, d_w)
@@ -765,12 +883,14 @@ def _make_sub_conv(granule: int, ns: int = 1):
         # so no K reversal there)
         gin = gin_saved if gin_saved is not None \
             else _stage(feats, in_idx, granule, ns)
+        feat_self = feats.reshape(C, M, Cin) if center >= 0 else None
         with jax.enable_x64(False):
             dw_flat = _pallas_dw(lidx, gin, ctc.reshape(C, M, Cout),
-                                 interpret, tmask)
+                                 interpret, tmask, feat_self, center)
             d_feats = _pallas_fwd(lidx, gct,
                                   w_rev_t.reshape(K * Cout, Cin),
-                                  feats.dtype, interpret, tmask)
+                                  feats.dtype, interpret, tmask,
+                                  ct_self, center)
         d_w = dw_flat.reshape(K, Cin, Cout).astype(weight.dtype)
         return (d_feats.reshape(-1, Cin), None, None, None, d_w)
 
@@ -810,10 +930,18 @@ def _tiles_enabled() -> bool:
     return os.environ.get("OCC_TILE_SKIP", "0") == "1"
 
 
+def _center_enabled() -> bool:
+    # identity-center tap (ChunkPlan.center_k): default ON — bit-identical
+    # to the one-hot path (CPU-pinned in tests); OCC_CENTER_TAP=0 restores
+    # the full 27-offset one-hot build for A/B runs.
+    import os
+    return os.environ.get("OCC_CENTER_TAP", "1") == "1"
+
+
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
                       lidx: jnp.ndarray, weight: jnp.ndarray,
                       granule: int = 1, tmask=None,
-                      ns: int = 1) -> jnp.ndarray:
+                      ns: int = 1, center_k: int = -1) -> jnp.ndarray:
     """out[r] = sum_k feats[nbr[r,k]] @ weight[k] via the chunked one-hot
     kernel. SUBMANIFOLD maps only (cap_in == cap_out and nbr self-transpose
     under offset reversal — the property the backward relies on).
@@ -822,13 +950,19 @@ def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
     `tmask` [C, K] int32 (see `tile_mask`) enables one-hot tile skipping;
     OCC_TILE_SKIP=0 disables it for A/B runs. `ns` > 1: blocked batch
     layout, scene-local in_idx staged from per-scene windows (`_stage`).
+    `center_k` >= 0: the identity-center tap (ChunkPlan.center_k).
     """
     if _interpret_default() and _under_shard_map(feats, in_idx, lidx,
                                                  weight):
         return _dechunked_conv(feats, in_idx, lidx, weight, granule, ns)
     if not _tiles_enabled():
         tmask = None
-    return _make_sub_conv(granule, ns)(feats, in_idx, lidx, tmask, weight)
+    else:
+        center_k = -1  # mutually exclusive kernel variants
+    if not _center_enabled():
+        center_k = -1
+    return _make_sub_conv(granule, ns, center_k)(feats, in_idx, lidx,
+                                                 tmask, weight)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1030,6 +1164,23 @@ def tile_mask(lidx: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(bits, axis=2).astype(np.int32)
 
 
+def _identity_center(table: np.ndarray) -> int:
+    """Offset column that is the identity map (the center of a submanifold
+    kernel: nbr[r, K//2] == r), or -1. Only the K//2 column is tested —
+    rotations fix the center, so even the normal-guided ORIENT_PERM plans
+    keep it there. Rows where the column is -1 are fine either way: the
+    kernel's copy path masks on lidx >= 0, matching the one-hot's zero row
+    bit-for-bit."""
+    cap, K = table.shape
+    if K % 2 == 0:
+        return -1
+    c = K // 2
+    col = table[:, c]
+    valid = col >= 0
+    rows = np.arange(cap, dtype=np.int64)
+    return c if bool(np.all(col[valid] == rows[valid])) else -1
+
+
 def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1,
                    ns: int = 1, val_scap: int = None):
     """ChunkPlan for a host map, or None on overflow.
@@ -1043,13 +1194,14 @@ def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1,
     for `_stage`'s window gathers."""
     if table.shape[0] % M != 0:
         return None
+    center_k = _identity_center(table)
     if ns == 1:
         arrs = build_chunk_arrays(table, M, u, granule, with_mask=True)
         if arrs is None:
             return None
         tm = arrs[2] if len(arrs) > 2 else tile_mask(arrs[1])
         return ChunkPlan(in_idx=arrs[0], lidx=arrs[1], granule=granule,
-                         tmask=tm)
+                         tmask=tm, center_k=center_k)
     rcap = table.shape[0] // ns
     if rcap % M != 0:
         return None
@@ -1066,7 +1218,7 @@ def _chunk_or_none(table: np.ndarray, M: int, u: int, granule: int = 1,
     tm = np.concatenate([p[2] if len(p) > 2 else tile_mask(p[1])
                          for p in parts])
     return ChunkPlan(in_idx=in_idx, lidx=lidx, granule=granule, tmask=tm,
-                     ns=ns)
+                     ns=ns, center_k=center_k)
 
 
 def augment_plan_with_chunks(plan, M: int = DEFAULT_M, U=None,
@@ -1228,7 +1380,13 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
         nbr = np.asarray(lvl.nbr)
         chunks = _chunk_or_none(nbr, M, u, granule, ns,
                                 nbr.shape[0] // ns)
-        if chunks is None and np.asarray(lvl.nbr).shape[0] % M == 0:
+        # overflow vs misalignment: only classify as OVERFLOW (retriable
+        # with a bigger U) when the geometry was actually eligible — a
+        # misaligned cap (incl. the per-scene rcap under the blocked
+        # layout) must not burn the escalation ladder
+        aligned = (nbr.shape[0] % M == 0
+                   and (nbr.shape[0] // ns) % M == 0)
+        if chunks is None and aligned:
             over_l.append(li)
             if warn:
                 logger.warning(
@@ -1248,10 +1406,15 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
                                    1, ns, coarse_scap)
         # the general-form VJP needs BOTH directions' plans
         if child_chunks is None or up_chunks is None:
+            # alignment test at the TRANSITION geometry (M_trans, and the
+            # per-scene rcap under the blocked layout): a misaligned table
+            # is not an overflow and must not trigger U escalation
+            def _al(n):
+                return n % M_trans == 0 and (n // ns) % M_trans == 0
             if ((child_chunks is None
-                 and np.asarray(tr.child).shape[0] % M == 0)
+                 and _al(np.asarray(tr.child).shape[0]))
                     or (up_chunks is None
-                        and np.asarray(tr.up).shape[0] % M == 0)):
+                        and _al(np.asarray(tr.up).shape[0]))):
                 over_t.append(ti)
             child_chunks = up_chunks = None
         new_transitions.append(dataclasses.replace(

@@ -84,5 +84,18 @@ def plan_for_batch(specs: Sequence[PlanSpec], coords: np.ndarray,
             (np.asarray(l.num_active) >= l.keys.shape[0] // max(ns, 1)).any()
             for l in plan.levels)
         if not overflow or i == len(specs) - 1:
+            if overflow:
+                # biggest bucket still saturated: per-scene sub-caps (or the
+                # level caps at ns=1) are truncating voxels — surface it,
+                # Topology.overflow() is otherwise only consulted in tests
+                import warnings
+                hot = [li for li, l in enumerate(plan.levels)
+                       if (np.asarray(l.num_active)
+                           >= l.keys.shape[0] // max(ns, 1)).any()]
+                warnings.warn(
+                    f"plan_for_batch: largest bucket (caps={specs[i].caps}) "
+                    f"still overflows at levels {hot} with ns={ns}; voxels "
+                    "were silently truncated — raise the bucket caps or "
+                    "lower the batch size", RuntimeWarning)
             return i, plan
         i += 1

@@ -94,7 +94,7 @@ def cluster_and_score(scene: dict, args) -> tuple:
     gts = gt_instances(scene["true_instance"].astype(np.int64),
                        scene["true_semantic"].astype(np.int64),
                        num_classes=num_classes)
-    return props, gts
+    return props, gts, np.asarray(sem_pred)
 
 
 def infer_scenes(config, args):
@@ -156,13 +156,31 @@ def infer_scenes(config, args):
 
 
 def score_scenes(scenes, args) -> dict:
-    all_props, all_gts = [], []
+    from occuseg_tpu.cluster.evaluator import per_proposal_statistics
+
+    all_props, all_gts, per_scene_stats = [], [], []
+    gt_pts = None
+    pred_pts = None
     for name, scene in scenes:
-        props, gts = cluster_and_score(scene, args)
+        props, gts, sem_pred = cluster_and_score(scene, args)
         all_props.append(props)
         all_gts.append(gts)
+        # per-proposal statistics block (reference instance_stat.mat
+        # schema, evaluate_instance.py:1548-1552)
+        per_scene_stats.append(
+            per_proposal_statistics(props, gts, sem_pred))
+        c_num = len(props)
+        if gt_pts is None:
+            gt_pts = np.zeros(c_num)
+            pred_pts = np.zeros(c_num)
+        for c in range(c_num):
+            gt_pts[c] += sum(int(v.sum()) for v in gts[c])
+            pred_pts[c] += sum(int(u.sum()) for u in props[c])
 
-    stats = {}
+    stats = {"per_proposal": np.stack(per_scene_stats)
+             if per_scene_stats else np.zeros((0, 0, 5, 1000)),
+             "pts_per_class": gt_pts,
+             "predict_pts_per_class": pred_pts}
     for thr in (0.25, 0.5):
         # reference-parity metric (precision reported as "mAP",
         # evaluate_instance.py:1703-1741) ...
@@ -226,10 +244,16 @@ def main() -> None:
         stats = score_scenes(infer_scenes(config, args), args)
 
     # instance statistics export (reference writes instance_stat.mat,
-    # evaluate_instance.py:1548-1552, :1699)
+    # evaluate_instance.py:1548-1552, :1699, schema
+    # {'stats': [files, class_num, 5, 1000], 'pts_per_class',
+    #  'predict_pts_per_class'}); per-class PR/AP aggregates ride along
     try:
         import scipy.io
-        scipy.io.savemat("instance_stat.mat", {"stats": stats})
+        mat = {"stats": stats.pop("per_proposal"),
+               "pts_per_class": stats.pop("pts_per_class"),
+               "predict_pts_per_class": stats.pop("predict_pts_per_class")}
+        mat.update(stats)
+        scipy.io.savemat("instance_stat.mat", mat)
         logging.info("wrote instance_stat.mat")
     except Exception as e:
         logging.warning("could not write instance_stat.mat: %s", e)

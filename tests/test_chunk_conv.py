@@ -505,3 +505,74 @@ def test_tile_skip_transition_matches(monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_u),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_identity_center_detection():
+    """Submanifold nbr maps expose the identity center (nbr[r, 13] == r);
+    transition maps don't. `_chunk_or_none` stamps ChunkPlan.center_k."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    assert cc._identity_center(nbr) == K // 2
+    child = np.asarray(plan.transitions[0].child)
+    assert cc._identity_center(child) == -1
+
+    cp = cc._chunk_or_none(nbr, M, U)
+    assert cp is not None and cp.center_k == K // 2
+    aug = augment_plan_with_chunks(plan, M=M, U=U)
+    assert aug.levels[0].chunks.center_k == K // 2
+    for tr in aug.transitions:
+        if tr.child_chunks is not None:
+            assert tr.child_chunks.center_k == -1
+
+
+def test_center_tap_bitexact(monkeypatch):
+    """The identity-center tap (masked own-rows copy instead of the one-hot
+    MXU permutation for k == 13) is bit-identical to the full one-hot path
+    — values AND both gradients — across all three backward variants
+    (fused v1, k-grouped v2, separate-dW)."""
+    import occuseg_tpu.ops.pallas.chunk_conv as cc
+
+    plan = _real_plan()
+    nbr = np.asarray(plan.levels[0].nbr)
+    in_idx, lidx = build_chunk_arrays(nbr, M, U)
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.standard_normal((CAP, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, 16, 8)) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((CAP, 8)), jnp.float32)
+
+    def run(center_k):
+        def loss(f, ww):
+            o = cc.chunk_gather_conv(f, jnp.asarray(in_idx),
+                                     jnp.asarray(lidx), ww,
+                                     center_k=center_k)
+            return jnp.sum((o - tgt) ** 2), o
+
+        (_, o), (gf, gw) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(feats, w)
+        return np.asarray(o), np.asarray(gf), np.asarray(gw)
+
+    variants = [
+        ("fused_v1", {}),
+        ("fused_v2", {"_bwd_fused_eligible": lambda *a, **k: False,
+                      "_bwd_fused_v2_grouping": lambda *a, **k: 9}),
+        ("separate_dw", {"_bwd_fused_eligible": lambda *a, **k: False,
+                         "_bwd_fused_v2_grouping": lambda *a, **k: 0}),
+        # k-grouped FORWARD (n_kg > 1): the center group is selected by a
+        # traced pl.when(kg == center // G) pair
+        ("kgrouped_fwd", {"_k_grouping": lambda *a, **k: 9,
+                          "_bwd_fused_eligible": lambda *a, **k: False,
+                          "_bwd_fused_v2_grouping": lambda *a, **k: 0}),
+    ]
+    for name, patches in variants:
+        for attr, fn in patches.items():
+            monkeypatch.setattr(cc, attr, fn)
+        cc._make_sub_conv.cache_clear()
+        o_c, gf_c, gw_c = run(K // 2)
+        o_u, gf_u, gw_u = run(-1)
+        np.testing.assert_array_equal(o_c, o_u, err_msg=name)
+        np.testing.assert_array_equal(gf_c, gf_u, err_msg=name)
+        np.testing.assert_array_equal(gw_c, gw_u, err_msg=name)
+        monkeypatch.undo()
+    cc._make_sub_conv.cache_clear()

@@ -56,3 +56,54 @@ def test_tables():
     v2 = model2.init(jax.random.PRNGKey(0), x, plan, False)
     out2 = model2.apply(v2, x, plan, False)
     assert out2.features.shape == (512, 8)
+
+
+def test_append_tensors():
+    """append_tensors (reference utils.py:142-151 + Metadata appendMetadata):
+    two single-scene tensors concatenate into a blocked 2-scene tensor whose
+    merged plan runs the same convolution as each scene separately."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import occuseg_tpu.legacy as scn
+    from occuseg_tpu.core.sparse_tensor import SparseTensor
+    from occuseg_tpu.core.topology import PlanSpec
+    from occuseg_tpu.data.synthetic import SceneConfig, make_batch
+    from occuseg_tpu.native.plan import build_plan_host
+    from occuseg_tpu.ops.conv import gather_conv
+
+    spec = PlanSpec(caps=(512, 256))
+    rng = np.random.default_rng(0)
+    entries, feats_list, plans = [], [], []
+    for seed in (1, 2):
+        batch = make_batch(SceneConfig(num_points=900, extent=40,
+                                       num_objects=4),
+                           num_scenes=1, p_cap=2048, num_instances=8,
+                           seed=seed)
+        plan = build_plan_host(batch["coords"], spec)
+        assert plan is not None
+        f = jnp.asarray(rng.standard_normal((512, 8)), jnp.float32)
+        n = jnp.asarray(np.asarray(plan.levels[0].num_active))
+        entries.append((SparseTensor(features=f, num_active=n), plan))
+        feats_list.append(f)
+        plans.append(plan)
+
+    out, merged = scn.append_tensors(entries)
+    assert out.cap == 1024 and out.num_active.shape == (2,)
+    assert np.asarray(merged.levels[0].keys).shape[0] == 1024
+    # batch columns renumbered
+    c0 = np.asarray(merged.levels[0].coords)
+    assert set(np.unique(c0[:512, 0])) <= {-1, 0}
+    assert set(np.unique(c0[512:, 0])) <= {-1, 1}
+
+    # a conv over the merged plan equals per-scene convs
+    w = jnp.asarray(rng.standard_normal((27, 8, 8)) * 0.1, jnp.float32)
+    merged_out = gather_conv(out.features,
+                             jnp.asarray(merged.levels[0].nbr), w)
+    for s in range(2):
+        ref = gather_conv(feats_list[s],
+                          jnp.asarray(plans[s].levels[0].nbr), w)
+        np.testing.assert_allclose(
+            np.asarray(merged_out[s * 512:(s + 1) * 512]),
+            np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -77,12 +77,12 @@ def test_dump_roundtrip_reproduces_inline(tmp_path):
     args = _Args()
     scene = _synthetic_scene()
 
-    props_a, gts_a = mod.cluster_and_score(scene, args)
+    props_a, gts_a, _ = mod.cluster_and_score(scene, args)
 
     fn = tmp_path / "scene0000.npz"
     np.savez(fn, **scene)
     loaded = dict(np.load(fn, allow_pickle=False))
-    props_b, gts_b = mod.cluster_and_score(loaded, args)
+    props_b, gts_b, _ = mod.cluster_and_score(loaded, args)
 
     assert _props_sizes(props_a) == _props_sizes(props_b)
     assert _props_sizes(gts_a) == _props_sizes(gts_b)
@@ -97,11 +97,16 @@ def test_score_scenes_and_joint_refine(tmp_path):
     scenes = [(f"s{i}", _synthetic_scene(i)) for i in range(2)]
     stats = mod.score_scenes(iter(scenes), args)
     assert "ap_50" in stats and "precision_50" in stats
+    pp = stats["per_proposal"]
+    assert pp.ndim == 4 and pp.shape[0] == 2 and pp.shape[2] == 5
+    # tp/fp complementarity on filled entries
+    filled = pp[:, :, 0, :] >= 0
+    assert np.all((pp[:, :, 0, :] + pp[:, :, 1, :])[filled] == 1)
 
     args2 = _Args()
     args2.use_joint_refine = True
     args2.use_merge = False
-    props, gts = mod.cluster_and_score(_synthetic_scene(3), args2)
+    props, gts, _ = mod.cluster_and_score(_synthetic_scene(3), args2)
     assert sum(len(c) for c in gts) > 0
 
 
@@ -112,8 +117,8 @@ def test_bw_relax_factor_changes_clustering():
     a1, a2 = _Args(), _Args()
     a1.use_merge = a2.use_merge = False
     a2.bw_relax_factor = 25.0  # absurdly wide bandwidths -> merged clusters
-    p1, _ = mod.cluster_and_score(scene, a1)
-    p2, _ = mod.cluster_and_score(scene, a2)
+    p1, _, _ = mod.cluster_and_score(scene, a1)
+    p2, _, _ = mod.cluster_and_score(scene, a2)
     n1 = sum(len(c) for c in p1)
     n2 = sum(len(c) for c in p2)
     assert n1 != n2
