@@ -114,8 +114,11 @@ def run_backbone(ns: int):
         return (semantic_cross_entropy(logits, labels),
                 mutated["batch_stats"])
 
+    # plan/labels passed as ARGS (closed-over arrays embed as HLO literal
+    # constants; at batch 4 that blew the remote compiler's request size
+    # limit — HTTP 413)
     @jax.jit
-    def scan(batch_stats, feats):
+    def scan(batch_stats, feats, plan, labels):
         def body(carry, _):
             bs, tok = carry
             f = feats + tok * 0
@@ -129,7 +132,8 @@ def run_backbone(ns: int):
             body, (batch_stats, jnp.float32(0)), None, length=N_SCAN)
         return bs, tok
 
-    trace_one(scan, (batch_stats, feats), (batch_stats, feats + 1e-3), nv,
+    trace_one(scan, (batch_stats, feats, plan, labels),
+              (batch_stats, feats + 1e-3, plan, labels), nv,
               f"backbone b{ns}")
 
 
@@ -150,7 +154,7 @@ def run_flagship(ns: int):
                                num_instances=64)
 
     @jax.jit
-    def scan(state, feats):
+    def scan(state, feats, batch_j, plan):
         def body(carry, _):
             st, tok = carry
             b = dict(batch_j)
@@ -163,7 +167,8 @@ def run_flagship(ns: int):
         return st, tok
 
     f = batch_j["features"]
-    trace_one(scan, (state, f), (state, f + 1e-3), nv, f"flagship b{ns}")
+    trace_one(scan, (state, f, batch_j, plan),
+              (state, f + 1e-3, batch_j, plan), nv, f"flagship b{ns}")
 
 
 if __name__ == "__main__":

@@ -406,8 +406,16 @@ class InputLayer(nn.Module):
         vox = pool_ops.voxelize_features(point_features, plan.p2v, lvl.cap,
                                          mode=self.mode,
                                          vox_seg=plan.vox_seg,
-                                         vox_counts=plan.vox_counts)
+                                         vox_counts=plan.vox_counts,
+                                         ns=_plan_ns(plan))
         return SparseTensor(features=vox, num_active=lvl.num_active, level=0)
+
+
+def _plan_ns(plan) -> int:
+    """Scene count of a blocked-layout plan (num_active is an [ns] vector;
+    scalar = single scene / concatenated layout). Static: it's a shape."""
+    na = plan.levels[0].num_active
+    return int(na.shape[0]) if getattr(na, "ndim", 0) == 1 else 1
 
 
 class OutputLayer(nn.Module):
@@ -419,7 +427,8 @@ class OutputLayer(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         assert x.level == 0, "OutputLayer expects level-0 features"
         return pool_ops.devoxelize_features(x.features, plan.p2v,
-                                            vox_seg=plan.vox_seg)
+                                            vox_seg=plan.vox_seg,
+                                            ns=_plan_ns(plan))
 
 
 class BLInputLayer(nn.Module):

@@ -779,6 +779,13 @@ def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
             jax.lax.slice_in_dim(in_idx, s * Cs, (s + 1) * Cs).reshape(-1),
             0)
         win = jax.lax.slice_in_dim(fsrc, s * scap, (s + 1) * scap)
+        # barrier: WITHOUT it XLA fuses the slice into the gather, which
+        # then reads the FULL ns-scene table (no VMEM prefetch possible —
+        # r5 b4 profile: 7.97 ms vs 0.84 ms for the same-shape gather whose
+        # source is a standalone 25 MB buffer that memory-space assignment
+        # prefetches into VMEM, S(1)). Materializing the window costs one
+        # linear 25 MB copy (~0.05 ms) and makes the source prefetchable.
+        (win,) = jax.lax.optimization_barrier((win,))
         outs.append(jnp.take(win, idx, axis=0, mode="clip",
                              unique_indices=False,
                              indices_are_sorted=False))
@@ -938,6 +945,19 @@ def _center_enabled() -> bool:
     return os.environ.get("OCC_CENTER_TAP", "1") == "1"
 
 
+def _scene_split_enabled() -> bool:
+    # blocked-batch scene split: run staging + kernel once PER SCENE on
+    # static slices instead of one ns-scene dispatch. Each scene's
+    # slice->stage->kernel chain is then an independent subgraph whose
+    # buffers are single-scene-sized — the structure under which XLA's
+    # memory-space assignment VMEM-prefetches staging-gather sources at
+    # batch 1 (r5 b4 profile: window gathers from the merged program ran
+    # 8.7 GB/s with no S(1) placement vs 0.84 ms for the same shape at
+    # b1). Default OFF until A/B'd on silicon (OCC_SCENE_SPLIT=1).
+    import os
+    return os.environ.get("OCC_SCENE_SPLIT", "0") == "1"
+
+
 def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
                       lidx: jnp.ndarray, weight: jnp.ndarray,
                       granule: int = 1, tmask=None,
@@ -961,6 +981,19 @@ def chunk_gather_conv(feats: jnp.ndarray, in_idx: jnp.ndarray,
         center_k = -1  # mutually exclusive kernel variants
     if not _center_enabled():
         center_k = -1
+    if ns > 1 and _scene_split_enabled():
+        Cs = lidx.shape[0] // ns
+        scap = feats.shape[0] // ns
+        inner = _make_sub_conv(granule, 1, center_k)
+        outs = []
+        for s in range(ns):
+            fs = jax.lax.slice_in_dim(feats, s * scap, (s + 1) * scap)
+            ii = jax.lax.slice_in_dim(in_idx, s * Cs, (s + 1) * Cs)
+            li = jax.lax.slice_in_dim(lidx, s * Cs, (s + 1) * Cs)
+            tm = None if tmask is None else jax.lax.slice_in_dim(
+                tmask, s * Cs, (s + 1) * Cs)
+            outs.append(inner(fs, ii, li, tm, weight))
+        return jnp.concatenate(outs, axis=0)
     return _make_sub_conv(granule, ns, center_k)(feats, in_idx, lidx,
                                                  tmask, weight)
 
@@ -1063,6 +1096,26 @@ def chunk_gather_conv_t(feats: jnp.ndarray, in_idx: jnp.ndarray,
         return _dechunked_conv(feats, in_idx, lidx, weight, granule, ns)
     if not _tiles_enabled():
         tmask = t_tmask = None
+    if ns > 1 and _scene_split_enabled():
+        # per-scene split (see chunk_gather_conv): both the forward map
+        # (out chunks <- fine rows) and the transpose map slice scene-major
+        Cs = lidx.shape[0] // ns
+        Cts = t_lidx.shape[0] // ns
+        scap = feats.shape[0] // ns
+        inner = _make_t_conv(granule, t_granule, 1)
+
+        def sl(a, s, cs):
+            return None if a is None else jax.lax.slice_in_dim(
+                a, s * cs, (s + 1) * cs)
+
+        outs = []
+        for s in range(ns):
+            outs.append(inner(
+                jax.lax.slice_in_dim(feats, s * scap, (s + 1) * scap),
+                sl(in_idx, s, Cs), sl(lidx, s, Cs), sl(tmask, s, Cs),
+                sl(t_in_idx, s, Cts), sl(t_lidx, s, Cts),
+                sl(t_tmask, s, Cts), weight))
+        return jnp.concatenate(outs, axis=0)
     return _make_t_conv(granule, t_granule, ns)(feats, in_idx, lidx, tmask,
                                                 t_in_idx, t_lidx, t_tmask,
                                                 weight)

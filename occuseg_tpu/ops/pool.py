@@ -26,8 +26,41 @@ def _interpreted_shard_map(*arrays) -> bool:
     return _interpret_default() and _under_shard_map(*arrays)
 
 
+def _point_gather(vox, p2v, vox_seg, ns: int):
+    """Voxel-row gather for per-point rows. ns > 1 (blocked batch layout):
+    the sorted point layout is scene-major (voxel blocks are scene-major,
+    point slots follow voxel blocks), so the main region decomposes into
+    per-scene gathers from STATIC windows of the voxel table — an XLA row
+    gather from a >100 MB multi-scene table runs ~10x slower than the same
+    gather from a standalone single-scene-sized buffer that memory-space
+    assignment prefetches into VMEM (PERF.md batch-4; same fix as
+    chunk_conv._stage). The overflow tail (points past B*r) can reference
+    any scene and takes the global gather."""
+    if ns <= 1 or vox_seg is None:
+        return gather_rows(vox, p2v)
+    N = vox.shape[0]
+    B, _, r = vox_seg.shape
+    w = N // B
+    scap = N // ns
+    bs = scap // w                    # voxel blocks per scene
+    mrs = bs * r                      # main point rows per scene
+    main = B * r
+    outs = []
+    for s in range(ns):
+        pv = jax.lax.slice_in_dim(p2v, s * mrs, (s + 1) * mrs)
+        pv = jnp.where(pv >= 0, pv - s * scap, pv)
+        win = jax.lax.slice_in_dim(vox, s * scap, (s + 1) * scap)
+        (win,) = jax.lax.optimization_barrier((win,))
+        outs.append(gather_rows(win, pv))
+    parts = [jnp.concatenate(outs, axis=0)]
+    if p2v.shape[0] > main:
+        parts.append(gather_rows(
+            vox, jax.lax.slice_in_dim(p2v, main, p2v.shape[0])))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 @functools.lru_cache(maxsize=None)
-def _make_sorted_voxelize(num_out: int):
+def _make_sorted_voxelize(num_out: int, ns: int = 1):
     """Differentiable scatter-free points->voxels sum for the sorted point
     layout (ops/pallas/segsum.py). Backward is the devoxelize gather."""
     from occuseg_tpu.ops.pallas.segsum import sorted_segment_sum
@@ -37,19 +70,19 @@ def _make_sorted_voxelize(num_out: int):
         return sorted_segment_sum(x, p2v, vox_seg, num_out)
 
     def fwd(x, p2v, vox_seg):
-        return f(x, p2v, vox_seg), (p2v,)
+        return f(x, p2v, vox_seg), (p2v, vox_seg)
 
     def bwd(res, ct):
-        (p2v,) = res
+        p2v, vox_seg = res
         # x is pre-cast to f32 by the caller, so d_x is f32 too
-        return gather_rows(ct, p2v), None, None
+        return _point_gather(ct, p2v, vox_seg, ns), None, None
 
     f.defvjp(fwd, bwd)
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sorted_devoxelize(num_out: int, dtype_name: str):
+def _make_sorted_devoxelize(num_out: int, dtype_name: str, ns: int = 1):
     """Voxels->points gather whose BACKWARD is the scatter-free blocked
     segment sum — the d_points->d_voxels scatter is the single largest
     non-conv op of the step (measured 3.4 ms as an XLA scatter)."""
@@ -57,7 +90,7 @@ def _make_sorted_devoxelize(num_out: int, dtype_name: str):
 
     @jax.custom_vjp
     def f(vox, p2v, vox_seg):
-        return gather_rows(vox, p2v)
+        return _point_gather(vox, p2v, vox_seg, ns)
 
     def fwd(vox, p2v, vox_seg):
         return f(vox, p2v, vox_seg), (p2v, vox_seg)
@@ -99,7 +132,8 @@ def unpool(coarse_feats: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
 def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
                       num_voxels_cap: int, mode: str = "mean",
                       vox_seg: jnp.ndarray = None,
-                      vox_counts: jnp.ndarray = None) -> jnp.ndarray:
+                      vox_counts: jnp.ndarray = None,
+                      ns: int = 1) -> jnp.ndarray:
     """Points -> voxels reduction: the InputLayer forward
     (`SCN/CUDA/IOLayers.cu` InputLayer_fp; modes per `IOLayersRules.h:10-16`:
     0 unique / 2 keep = 'first', 1 overwrite = 'last', 3 = 'sum',
@@ -112,7 +146,7 @@ def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
     """
     if vox_seg is not None and mode in ("sum", "mean") \
             and not _interpreted_shard_map(point_feats):
-        s = _make_sorted_voxelize(num_voxels_cap)(
+        s = _make_sorted_voxelize(num_voxels_cap, ns)(
             point_feats.astype(jnp.float32), p2v, vox_seg)
         if mode == "mean":
             s = s / jnp.maximum(vox_counts[:, None], 1)
@@ -148,13 +182,15 @@ def voxelize_features(point_feats: jnp.ndarray, p2v: jnp.ndarray,
 
 
 def devoxelize_features(voxel_feats: jnp.ndarray, p2v: jnp.ndarray,
-                        vox_seg: jnp.ndarray = None) -> jnp.ndarray:
+                        vox_seg: jnp.ndarray = None,
+                        ns: int = 1) -> jnp.ndarray:
     """Voxels -> points gather: the OutputLayer forward
     (`ioLayers.py:66-87`; backward of InputLayer in the reference). With
     the sorted point layout (`vox_seg`), the backward scatter runs on the
-    Pallas blocked segment-sum kernel."""
+    Pallas blocked segment-sum kernel. `ns` > 1: blocked batch layout,
+    per-scene window gathers (`_point_gather`)."""
     if vox_seg is not None and not _interpreted_shard_map(voxel_feats):
         return _make_sorted_devoxelize(
-            voxel_feats.shape[0], jnp.dtype(voxel_feats.dtype).name)(
+            voxel_feats.shape[0], jnp.dtype(voxel_feats.dtype).name, ns)(
             voxel_feats, p2v, vox_seg)
     return gather_rows(voxel_feats, p2v)

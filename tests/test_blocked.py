@@ -174,3 +174,74 @@ def test_blocked_train_step_matches_concat():
         np.testing.assert_allclose(float(parts_b[k]), float(parts_c[k]),
                                    rtol=1e-3, atol=1e-4,
                                    err_msg=f"loss part {k}")
+
+
+def test_blocked_point_gather_matches_global():
+    """Per-scene windowed point IO (`pool._point_gather`, ns>1 + sorted
+    layout) equals the global gather, forward and backward — the blocked
+    devoxelize/voxelize path (r5: XLA row gathers from multi-scene tables
+    run ~10x slower than per-scene window gathers, PERF.md batch-4)."""
+    from occuseg_tpu.core.point_layout import (
+        augment_plan_with_point_layout,
+    )
+    from occuseg_tpu.ops import pool as pool_ops
+    from occuseg_tpu.ops.gather import gather_rows
+
+    batch = _batch(13)
+    blocked, _ = _plans(batch)
+    plan = augment_plan_with_point_layout(blocked)
+    assert plan.vox_seg is not None, "layout must fit for this test"
+    p2v = jnp.asarray(plan.p2v)
+    vox_seg = jnp.asarray(plan.vox_seg)
+    rng = np.random.default_rng(0)
+    vox = jnp.asarray(rng.normal(size=(CAPS[0], 8)).astype(np.float32))
+
+    out_w = pool_ops._point_gather(vox, p2v, vox_seg, NS)
+    out_g = gather_rows(vox, p2v)
+    np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+    # full devoxelize custom_vjp: forward + backward vs the plain path
+    f_w = lambda v: pool_ops.devoxelize_features(v, p2v, vox_seg, ns=NS).sum()
+    f_g = lambda v: gather_rows(v, p2v).sum()
+    np.testing.assert_allclose(np.asarray(jax.grad(f_w)(vox)),
+                               np.asarray(jax.grad(f_g)(vox)),
+                               rtol=1e-6, atol=1e-6)
+
+    # voxelize backward is the windowed gather of the cotangent
+    pts = jnp.asarray(rng.normal(size=(p2v.shape[0], 8)).astype(np.float32))
+    g_w = jax.grad(lambda x: pool_ops.voxelize_features(
+        x, p2v, CAPS[0], mode="sum", vox_seg=vox_seg,
+        vox_counts=jnp.asarray(plan.vox_counts), ns=NS).sum())(pts)
+    g_g = jax.grad(lambda x: pool_ops.voxelize_features(
+        x, p2v, CAPS[0], mode="sum", vox_seg=vox_seg,
+        vox_counts=jnp.asarray(plan.vox_counts)).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_g),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_scene_split_matches_merged(monkeypatch):
+    """OCC_SCENE_SPLIT=1 (per-scene staging+kernel dispatches) is
+    numerically identical to the merged ns-scene dispatch, values and
+    grads, for submanifold convs AND transitions."""
+    from occuseg_tpu.models import InstanceDenseUNet
+    from occuseg_tpu.ops.pallas.chunk_conv import augment_plan_with_chunks
+
+    batch = _batch(14)
+    blocked, _ = _plans(batch)
+    aug = augment_plan_with_chunks(blocked)
+    feats = jnp.asarray(batch["features"])
+    model = InstanceDenseUNet(n_planes=(8, 16, 24, 32), num_classes=20)
+    variables = model.init(jax.random.PRNGKey(2), feats, aug, False)
+
+    def loss(v, f):
+        out = model.apply(v, f, aug, False)
+        return (jnp.sum(out.semantics ** 2)
+                + jnp.sum(out.embedding ** 2)).astype(jnp.float32)
+
+    monkeypatch.setenv("OCC_SCENE_SPLIT", "0")
+    l0, g0 = jax.value_and_grad(loss)(variables, feats)
+    monkeypatch.setenv("OCC_SCENE_SPLIT", "1")
+    l1, g1 = jax.value_and_grad(loss)(variables, feats)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    jax.tree.map(lambda a0, a1: np.testing.assert_allclose(
+        np.asarray(a1), np.asarray(a0), rtol=1e-5, atol=1e-6), g0, g1)
