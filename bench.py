@@ -97,9 +97,11 @@ def _prepare(seed: int):
             kw["M"] = m_env
         if u_env:
             kw["U"] = tuple(int(x) for x in u_env.split(","))
-        g_env = int(os.environ.get("OCC_GRANULE", 0) or 0)
+        g_env = os.environ.get("OCC_GRANULE", "")
         if g_env:
-            kw["granule"] = g_env
+            # int (all levels) or comma list (per level, e.g. "2,2,1,1,1,1")
+            g = tuple(int(x) for x in g_env.split(","))
+            kw["granule"] = g[0] if len(g) == 1 else g
         if NUM_SCENES > 1 and not blocked:
             kw["u_bump"] = 32  # scene-boundary chunks (concat layout only)
         host_plan = chunk_conv.augment_plan_with_chunks(host_plan, **kw)

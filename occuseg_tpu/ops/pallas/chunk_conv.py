@@ -741,6 +741,15 @@ def _pallas_dw(lidx, gin, ct_c, interpret, tmask=None, self_c=None,
     )(nz, *extra, lidx, gin, ct_c)
 
 
+def _runtime_zero(dtype):
+    """A zero the algebraic simplifier cannot see through (an
+    optimization_barrier'd scalar): `x + _runtime_zero(dt)` forces an
+    elementwise fusion that materializes x as a fresh buffer while the
+    scalar itself is loop-hoisted. Value-identical (adding +0.0 is exact
+    for every finite float)."""
+    return jax.lax.optimization_barrier(jnp.zeros([], dtype))
+
+
 def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
     """XLA pre-gather of each chunk's deduped input rows: [C, U, Cin].
     One coalesced gather per conv instead of K strided ones.
@@ -779,13 +788,16 @@ def _stage(feats, in_idx, granule: int = 1, ns: int = 1):
             jax.lax.slice_in_dim(in_idx, s * Cs, (s + 1) * Cs).reshape(-1),
             0)
         win = jax.lax.slice_in_dim(fsrc, s * scap, (s + 1) * scap)
-        # barrier: WITHOUT it XLA fuses the slice into the gather, which
-        # then reads the FULL ns-scene table (no VMEM prefetch possible —
-        # r5 b4 profile: 7.97 ms vs 0.84 ms for the same-shape gather whose
-        # source is a standalone 25 MB buffer that memory-space assignment
-        # prefetches into VMEM, S(1)). Materializing the window costs one
-        # linear 25 MB copy (~0.05 ms) and makes the source prefetchable.
-        (win,) = jax.lax.optimization_barrier((win,))
+        # Materialize the window as an ELEMENTWISE FUSION output (add a
+        # runtime zero the simplifier cannot fold away). Rationale (r5 b4
+        # profile): the same-shape gather runs 0.84 ms at b1 where its
+        # source is a fusion-produced single-scene table that memory-space
+        # assignment places in VMEM (S(1)), vs 7.97 ms at b4 where the
+        # source window reads from the 100 MB merged table. A bare
+        # optimization_barrier materialized the window as a `copy` but MSA
+        # still left it in HBM — fusion-produced buffers match the b1
+        # structure it does promote.
+        win = win + _runtime_zero(win.dtype)
         outs.append(jnp.take(win, idx, axis=0, mode="clip",
                              unique_indices=False,
                              indices_are_sorted=False))
@@ -938,11 +950,15 @@ def _tiles_enabled() -> bool:
 
 
 def _center_enabled() -> bool:
-    # identity-center tap (ChunkPlan.center_k): default ON — bit-identical
-    # to the one-hot path (CPU-pinned in tests); OCC_CENTER_TAP=0 restores
-    # the full 27-offset one-hot build for A/B runs.
+    # identity-center tap (ChunkPlan.center_k): default OFF — the r5
+    # silicon A/B measured it a REGRESSION (backbone 172.6 -> 169.8 ms,
+    # flagship 184.3 -> 181.5 ms with the tap disabled): the masked
+    # per-chunk VMEM copy + the pl.when control around the skipped center
+    # product cost more than the 1/27 one-hot FLOPs it saves (same
+    # pattern as tile-skip, r4). Machinery kept, CPU-pinned bit-exact
+    # (tests/test_chunk_conv.py); OCC_CENTER_TAP=1 re-enables for A/Bs.
     import os
-    return os.environ.get("OCC_CENTER_TAP", "1") == "1"
+    return os.environ.get("OCC_CENTER_TAP", "0") == "1"
 
 
 def _scene_split_enabled() -> bool:
@@ -1411,9 +1427,6 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
         # scenes' refs (measured +15% max uniq at batch 4 — L0/L1 overflow
         # without this, and an XLA fallback at 4x table size is ruinous)
         U, U_child, U_up = _bumped(U), _bumped(U_child), _bumped(U_up)
-    if granule > 1 and isinstance(U, tuple):
-        # granule dedup inflates per-chunk slots ~10-25% (exp stats)
-        U = tuple(-(-int(u * 1.3) // granule) * granule for u in U)
     f_lvl, f_child, f_up = _tier3(tier_f)
     U_child, U_up = _scale_u(U_child, f_child), _scale_u(U_up, f_up)
     import logging
@@ -1430,8 +1443,17 @@ def _augment_once(plan, M, U, U_child, U_up, granule, u_bump, tier_f,
         fl = f_lvl if isinstance(f_lvl, (int, float)) \
             else f_lvl[min(li, len(f_lvl) - 1)]
         u = _scale1(u, fl)
+        # granule: int (all levels) or per-level sequence — staging
+        # gathers read g-row granules (g*Cin*esize bytes per transaction;
+        # pays at the narrow shallow levels where rows are 128-256B),
+        # while granule dedup inflates per-chunk slots ~25-40% (measured
+        # g=2 maxima 288/362/426/424/446/322 vs 231/287/321/325/317/260)
+        g = granule if isinstance(granule, int) \
+            else granule[min(li, len(granule) - 1)]
+        if g > 1:
+            u = -(-int(u * 1.3) // g) * g
         nbr = np.asarray(lvl.nbr)
-        chunks = _chunk_or_none(nbr, M, u, granule, ns,
+        chunks = _chunk_or_none(nbr, M, u, g, ns,
                                 nbr.shape[0] // ns)
         # overflow vs misalignment: only classify as OVERFLOW (retriable
         # with a bigger U) when the geometry was actually eligible — a

@@ -50,7 +50,9 @@ def _point_gather(vox, p2v, vox_seg, ns: int):
         pv = jax.lax.slice_in_dim(p2v, s * mrs, (s + 1) * mrs)
         pv = jnp.where(pv >= 0, pv - s * scap, pv)
         win = jax.lax.slice_in_dim(vox, s * scap, (s + 1) * scap)
-        (win,) = jax.lax.optimization_barrier((win,))
+        # fusion-materialize the window (see chunk_conv._runtime_zero)
+        from occuseg_tpu.ops.pallas.chunk_conv import _runtime_zero
+        win = win + _runtime_zero(win.dtype)
         outs.append(gather_rows(win, pv))
     parts = [jnp.concatenate(outs, axis=0)]
     if p2v.shape[0] > main:
