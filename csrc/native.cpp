@@ -265,6 +265,14 @@ struct FlatMap {
       i = (i + 1) & mask_;
     }
   }
+  inline size_t slot(int64_t k) const { return hash(k) & mask_; }
+  inline int32_t find_from(size_t i, int64_t k) const {
+    while (true) {
+      if (keys_[i] == kKeyPad) return -1;
+      if (keys_[i] == k) return vals_[i];
+      i = (i + 1) & mask_;
+    }
+  }
 };
 
 }  // namespace
@@ -325,6 +333,17 @@ void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
                        const int32_t* offsets, int32_t K, int32_t* out_nbr) {
   FlatMap table(num_active);
   for (int32_t r = 0; r < num_active; ++r) table.insert(keys[r], r);
+  // identity offset (the submanifold center): nbr[r][k_id] == r for every
+  // active row — skip its probe entirely
+  int32_t k_id = -1;
+  for (int32_t k = 0; k < K; ++k) {
+    if (offsets[k * 3] == 0 && offsets[k * 3 + 1] == 0 &&
+        offsets[k * 3 + 2] == 0) {
+      k_id = k;
+      break;
+    }
+  }
+  constexpr int32_t kMaxK = 125;  // 5^3 is the largest kernel in use
 #pragma omp parallel for schedule(static)
   for (int32_t r = 0; r < cap; ++r) {
     const int32_t b = level_coords[r * 4];
@@ -332,13 +351,32 @@ void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
       for (int32_t k = 0; k < K; ++k) out_nbr[r * K + k] = -1;
       continue;
     }
-    for (int32_t k = 0; k < K; ++k) {
-      const int64_t q = morton_key(b,
-                                   level_coords[r * 4 + 1] + offsets[k * 3],
-                                   level_coords[r * 4 + 2] + offsets[k * 3 + 1],
-                                   level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
-      out_nbr[r * K + k] = table.find(q);
+    if (K > kMaxK) {  // oversized kernels: plain probe loop
+      for (int32_t k = 0; k < K; ++k) {
+        const int64_t qk = morton_key(
+            b, level_coords[r * 4 + 1] + offsets[k * 3],
+            level_coords[r * 4 + 2] + offsets[k * 3 + 1],
+            level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
+        out_nbr[r * K + k] = table.find(qk);
+      }
+      continue;
     }
+    // two passes: compute every query's hash slot and prefetch it, THEN
+    // probe — the 27 probes are independent random accesses into a table
+    // bigger than L2, so software pipelining hides most of the miss
+    // latency (the probe loop was ~33 ns/lookup, latency-bound)
+    int64_t q[kMaxK];
+    size_t s[kMaxK];
+    for (int32_t k = 0; k < K; ++k) {
+      q[k] = morton_key(b, level_coords[r * 4 + 1] + offsets[k * 3],
+                        level_coords[r * 4 + 2] + offsets[k * 3 + 1],
+                        level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
+      s[k] = table.slot(q[k]);
+      __builtin_prefetch(&table.keys_[s[k]], 0, 1);
+    }
+    for (int32_t k = 0; k < K; ++k)
+      out_nbr[r * K + k] =
+          (k == k_id) ? r : table.find_from(s[k], q[k]);
   }
 }
 

@@ -1,72 +1,39 @@
-"""Multi-process host plan building (VERDICT r2 #7).
+"""Multi-worker host plan building (VERDICT r2 #7, thread-based since r5).
 
 The reference hides rulebook construction behind 10 torch DataLoader
 workers (`datasets/scannet.py:448`). The round-2 equivalent was ONE
 prefetch thread — enough to overlap, but a single core cannot out-produce
-the device once the step is ~200 ms while plan + chunk building is ~2 s.
-This module is the multi-worker analog: a fork-based process pool that
-builds (Topology plan [+ chunk rulebooks]) for a sliding window of batches
-and yields them in order.
+the device once the step is ~180 ms while plan + chunk building is ~590 ms
+(experiments/r5_host_planner_profile.py). This module is the multi-worker
+analog: a sliding window of batches whose (Topology plan [+ chunk
+rulebooks]) build concurrently and yield in order.
 
-Workers run NumPy + the C++ planner only — never jax (forking a process
-with a live TPU client and then using jax in the child is unsafe; the
-jitted fallback plan stays in the parent). Results are NumPy pytrees,
-returned via pickle; batches themselves never round-trip (the parent keeps
-them in the submission window).
-
-On this build host (1 core) the pool cannot beat the thread — measured
-honestly in experiments/exp_r3_host_pool.py; on a production many-core
-host the window gives near-linear plans/s until the device is the
-bottleneck.
+Workers are THREADS, not processes (r5): the r2-r4 fork pool raised
+explicit "fork() of a multithreaded process" deadlock warnings under a
+live JAX runtime (VERDICT r4 weak #3) — fork after TPU-client threads
+exist is unsafe by construction. Threads are safe AND scale here because
+the planner's hot sections run outside the GIL:
+  * the C++ planner (plan_voxelize / plan_neighbor_map / plan_downsample
+    / plan_chunks) is called through ctypes, which releases the GIL for
+    the call's duration — 489 of the 587 ms pipeline;
+  * the NumPy glue (point layout argsort/bincount, array concats)
+    releases the GIL inside its large-array ufuncs/sorts.
+On this build host (1 core) no pool can beat the single thread —
+measured honestly in experiments/exp_r3_host_pool.py; on a production
+many-core host the window gives near-linear plans/s until the device is
+the bottleneck, with zero IPC/pickle overhead (results are shared-memory
+NumPy pytrees, not round-tripped).
 """
 
 from __future__ import annotations
 
-import multiprocessing as mp
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterable, Iterator, Optional, Tuple
-
-import numpy as np
-
-# worker-side globals (set once per worker by _init)
-_W: Dict = {}
-
-
-def _init(spec, chunks, u_bump, bucket_specs_list, ns=1):
-    _W["spec"] = spec
-    _W["chunks"] = chunks
-    _W["u_bump"] = u_bump
-    _W["buckets"] = bucket_specs_list
-    _W["ns"] = ns
-
-
-def _build(args) -> Tuple[Optional[object], int]:
-    """Build one batch's plan (+ chunks). Runs in a worker process."""
-    coords, normals = args
-    from occuseg_tpu.native.plan import build_plan_host
-
-    spec = _W["spec"]
-    ns = _W.get("ns", 1)
-    bi = 0
-    if _W["buckets"] is not None:
-        from occuseg_tpu.train.bucketing import plan_for_batch
-        bi, plan = plan_for_batch(_W["buckets"], coords, normals, ns=ns)
-    elif ns > 1:
-        from occuseg_tpu.native.blocked import build_plan_host_blocked
-        plan = build_plan_host_blocked(coords, spec, ns, normals)
-    else:
-        plan = build_plan_host(coords, spec, normals)
-    if plan is not None and _W["chunks"]:
-        from occuseg_tpu.ops.pallas.chunk_conv import (
-            augment_plan_with_chunks,
-        )
-        bump = 0 if ns > 1 else _W["u_bump"]
-        plan = augment_plan_with_chunks(plan, u_bump=bump)
-    return plan, bi
 
 
 class PlanPool:
-    """Ordered sliding-window plan builder over `workers` processes."""
+    """Ordered sliding-window plan builder over `workers` threads."""
 
     def __init__(self, spec, workers: int, chunks: bool = False,
                  u_bump: int = 0, use_normals: bool = False,
@@ -75,10 +42,35 @@ class PlanPool:
         self.workers = max(int(workers), 1)
         self.use_normals = use_normals
         self.window = window or self.workers + 2
-        ctx = mp.get_context("fork")
-        self._pool = ctx.Pool(self.workers, initializer=_init,
-                              initargs=(spec, chunks, u_bump,
-                                        bucket_specs_list, ns))
+        self.spec = spec
+        self.chunks = chunks
+        self.u_bump = u_bump
+        self.buckets = bucket_specs_list
+        self.ns = ns
+        self._pool = ThreadPoolExecutor(max_workers=self.workers,
+                                        thread_name_prefix="plan")
+
+    def _build(self, coords, normals) -> Tuple[Optional[object], int]:
+        """Build one batch's plan (+ chunks). Runs in a worker thread."""
+        from occuseg_tpu.native.plan import build_plan_host
+
+        ns = self.ns
+        bi = 0
+        if self.buckets is not None:
+            from occuseg_tpu.train.bucketing import plan_for_batch
+            bi, plan = plan_for_batch(self.buckets, coords, normals, ns=ns)
+        elif ns > 1:
+            from occuseg_tpu.native.blocked import build_plan_host_blocked
+            plan = build_plan_host_blocked(coords, self.spec, ns, normals)
+        else:
+            plan = build_plan_host(coords, self.spec, normals)
+        if plan is not None and self.chunks:
+            from occuseg_tpu.ops.pallas.chunk_conv import (
+                augment_plan_with_chunks,
+            )
+            bump = 0 if ns > 1 else self.u_bump
+            plan = augment_plan_with_chunks(plan, u_bump=bump)
+        return plan, bi
 
     def imap(self, batches: Iterable[Dict]
              ) -> Iterator[Tuple[Dict, Optional[object], int]]:
@@ -94,19 +86,19 @@ class PlanPool:
                 except StopIteration:
                     exhausted = True
                     break
-                args = (b["coords"],
-                        b.get("normals") if self.use_normals else None)
-                pending.append((b, self._pool.apply_async(_build, (args,))))
+                coords = b["coords"]
+                normals = b.get("normals") if self.use_normals else None
+                pending.append((b, self._pool.submit(self._build, coords,
+                                                     normals)))
             if not pending:
                 break
             b, fut = pending.popleft()
-            plan, bi = fut.get()
+            plan, bi = fut.result()
             yield b, plan, bi
         # pool stays alive for the next epoch; call close() when done
 
     def close(self):
-        self._pool.terminate()
-        self._pool.join()
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __enter__(self):
         return self

@@ -73,8 +73,9 @@ def get_parser() -> argparse.ArgumentParser:
                         "optimizer update (the TPU-native equivalent of "
                         "the reference's batch N)")
     p.add_argument("--plan_workers", type=int, default=0,
-                   help=">1 builds host plans in a fork-based process pool "
-                        "(the analog of the reference's DataLoader "
+                   help=">1 builds host plans in a thread pool (fork-safe "
+                        "under JAX; the C++ planner releases the GIL — the "
+                        "analog of the reference's DataLoader "
                         "num_workers=10); 0/1 = single prefetch thread")
     p.add_argument("--blocked_batch", type=int, default=1,
                    help="multi-scene per-chip batches use the BLOCKED row "

@@ -429,9 +429,11 @@ def train(config: Dict, max_steps: Optional[int] = None) -> Dict:
     except Exception:
         pass
 
-    # multi-process plan building (reference DataLoader num_workers analog);
-    # single-stream path only — DP groups and spatial shard-prep keep the
-    # thread prefetcher (their per-group packing is already overlapped)
+    # multi-threaded plan building (reference DataLoader num_workers
+    # analog; threads are fork-safe under the live JAX runtime and the
+    # C++ planner releases the GIL — native/pool.py). Single-stream path
+    # only — DP groups and spatial shard-prep keep the single prefetch
+    # thread (their per-group packing is already overlapped)
     plan_pool = None
     n_workers = int(config.get("plan_workers", 0) or 0)
     if n_workers > 1 and n_dev == 1 and n_spatial <= 1:
