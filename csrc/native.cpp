@@ -344,14 +344,14 @@ void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
     }
   }
   constexpr int32_t kMaxK = 125;  // 5^3 is the largest kernel in use
+  if (K > kMaxK) {  // oversized kernels: plain probe loop
 #pragma omp parallel for schedule(static)
-  for (int32_t r = 0; r < cap; ++r) {
-    const int32_t b = level_coords[r * 4];
-    if (b < 0 || r >= num_active) {
-      for (int32_t k = 0; k < K; ++k) out_nbr[r * K + k] = -1;
-      continue;
-    }
-    if (K > kMaxK) {  // oversized kernels: plain probe loop
+    for (int32_t r = 0; r < cap; ++r) {
+      const int32_t b = level_coords[r * 4];
+      if (b < 0 || r >= num_active) {
+        for (int32_t k = 0; k < K; ++k) out_nbr[r * K + k] = -1;
+        continue;
+      }
       for (int32_t k = 0; k < K; ++k) {
         const int64_t qk = morton_key(
             b, level_coords[r * 4 + 1] + offsets[k * 3],
@@ -359,24 +359,63 @@ void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
             level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
         out_nbr[r * K + k] = table.find(qk);
       }
-      continue;
     }
+    return;
+  }
+  // Offset-pair symmetry: nbr[r][k] == j  <=>  nbr[j][pair(k)] == r where
+  // off[pair(k)] == -off[k]. Probe only one offset of each +/- pair and
+  // scatter the reverse entry on hit — the probes (dependent random loads
+  // into a >L2 table) are the hot cost, the reverse store is fire-and-
+  // forget. Every output cell has exactly ONE writer (forward: its own
+  // row's probe; reverse: the unique paired row's probe), so the parallel
+  // loop stays race-free.
+  int32_t pair_k[kMaxK];
+  for (int32_t k = 0; k < K; ++k) {
+    pair_k[k] = -1;
+    for (int32_t k2 = 0; k2 < K; ++k2) {
+      if (offsets[k2 * 3] == -offsets[k * 3] &&
+          offsets[k2 * 3 + 1] == -offsets[k * 3 + 1] &&
+          offsets[k2 * 3 + 2] == -offsets[k * 3 + 2]) {
+        pair_k[k] = k2;
+        break;
+      }
+    }
+  }
+  // probe list: one of each pair (plus any unpaired offset); the 0xFF
+  // memset pre-fills every cell with -1 so misses and padding rows never
+  // need a store at all
+  int32_t probe_ks[kMaxK];
+  int32_t nk = 0;
+  for (int32_t k = 0; k < K; ++k)
+    if (k != k_id && (pair_k[k] == -1 || pair_k[k] > k)) probe_ks[nk++] = k;
+  std::memset(out_nbr, 0xFF, static_cast<size_t>(cap) * K * sizeof(int32_t));
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < num_active; ++r) {
+    const int32_t b = level_coords[r * 4];
+    if (b < 0) continue;
+    if (k_id >= 0) out_nbr[static_cast<size_t>(r) * K + k_id] = r;
     // two passes: compute every query's hash slot and prefetch it, THEN
-    // probe — the 27 probes are independent random accesses into a table
+    // probe — the probes are independent random accesses into a table
     // bigger than L2, so software pipelining hides most of the miss
     // latency (the probe loop was ~33 ns/lookup, latency-bound)
     int64_t q[kMaxK];
     size_t s[kMaxK];
-    for (int32_t k = 0; k < K; ++k) {
-      q[k] = morton_key(b, level_coords[r * 4 + 1] + offsets[k * 3],
+    for (int32_t i = 0; i < nk; ++i) {
+      const int32_t k = probe_ks[i];
+      q[i] = morton_key(b, level_coords[r * 4 + 1] + offsets[k * 3],
                         level_coords[r * 4 + 2] + offsets[k * 3 + 1],
                         level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
-      s[k] = table.slot(q[k]);
-      __builtin_prefetch(&table.keys_[s[k]], 0, 1);
+      s[i] = table.slot(q[i]);
+      __builtin_prefetch(&table.keys_[s[i]], 0, 1);
     }
-    for (int32_t k = 0; k < K; ++k)
-      out_nbr[r * K + k] =
-          (k == k_id) ? r : table.find_from(s[k], q[k]);
+    for (int32_t i = 0; i < nk; ++i) {
+      const int32_t j = table.find_from(s[i], q[i]);
+      if (j < 0) continue;
+      const int32_t k = probe_ks[i];
+      out_nbr[static_cast<size_t>(r) * K + k] = j;
+      if (pair_k[k] >= 0)
+        out_nbr[static_cast<size_t>(j) * K + pair_k[k]] = r;
+    }
   }
 }
 
@@ -445,10 +484,17 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
     // chunk-local row->position map: open addressing with generation
     // stamps (no per-chunk clearing). Every queried row >= 0 is present
     // by construction (it was pushed into refs), so probes always hit.
+    // Sized for the worst case (every ref unique) so the dedup pass can
+    // insert all M*K refs of an overflowing chunk without filling up.
     size_t hcap = 16;
-    while (hcap < static_cast<size_t>(U) * 2) hcap <<= 1;
+    while (hcap < std::max(static_cast<size_t>(U),
+                           static_cast<size_t>(M) * K) * 2)
+      hcap <<= 1;
     const size_t hmask = hcap - 1;
-    std::vector<int32_t> hkey(hcap), hpos(hcap), hgen(hcap, -1);
+    // one 12-byte slot per entry (gen, key, pos together): a probe touches
+    // ONE cache line instead of three parallel arrays' worth
+    struct Slot { int32_t gen, key, pos; };
+    std::vector<Slot> slots(hcap, Slot{-1, 0, 0});
     int32_t gen = -1;
     auto hslot = [&](int32_t r) {
       return static_cast<size_t>(
@@ -456,42 +502,59 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
                  2654435761ull >> 12) & hmask;
     };
     int32_t local_max = 0;
+    std::vector<std::pair<int32_t, int32_t>> order;  // (row, first-seen pos)
+    std::vector<int32_t> newpos;                     // first-seen -> sorted
+    order.reserve(static_cast<size_t>(M) * K);
+    newpos.resize(static_cast<size_t>(M) * K);
 #pragma omp for schedule(dynamic, 8)
     for (int32_t c = 0; c < C; ++c) {
       refs.clear();
       const int32_t* rows = nbr + static_cast<int64_t>(c) * M * K;
-      for (int32_t i = 0; i < M * K; ++i)
-        if (rows[i] >= 0) refs.push_back(rows[i]);
-      std::sort(refs.begin(), refs.end());
-      refs.erase(std::unique(refs.begin(), refs.end()), refs.end());
-      const int32_t u = static_cast<int32_t>(refs.size());
-      local_max = std::max(local_max, u);
-      if (u > U) continue;
-      ++gen;
-      for (int32_t j = 0; j < u; ++j) {
-        size_t i = hslot(refs[j]);
-        while (hgen[i] == gen) i = (i + 1) & hmask;
-        hgen[i] = gen;
-        hkey[i] = refs[j];
-        hpos[i] = j;
-      }
-      int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
-      for (int32_t j = 0; j < U; ++j) ii[j] = j < u ? refs[j] : -1;
       int32_t* ld = lidx + static_cast<int64_t>(c) * K * M;
-      int32_t* tm = tmask ? tmask + static_cast<int64_t>(c) * K : nullptr;
-      if (tm)
-        for (int32_t k = 0; k < K; ++k) tm[k] = 0;
+      // ONE pass deduping via the stamped hash while writing FIRST-SEEN
+      // positions straight into lidx; afterwards sort only the ~U unique
+      // refs and remap lidx through a u-sized LUT. (Sorting all M*K refs
+      // and re-probing the hash for every lidx cell were the planner's
+      // two hottest chunk loops.)
+      ++gen;
       for (int32_t m = 0; m < M; ++m) {
         for (int32_t k = 0; k < K; ++k) {
           const int32_t r = rows[m * K + k];
           int32_t pos = -1;
           if (r >= 0) {
-            size_t i = hslot(r);
-            while (hgen[i] != gen || hkey[i] != r) i = (i + 1) & hmask;
-            pos = hpos[i];
-            if (tm) tm[k] |= int32_t{1} << (pos / tile);
+            size_t h = hslot(r);
+            while (slots[h].gen == gen && slots[h].key != r)
+              h = (h + 1) & hmask;
+            if (slots[h].gen != gen) {
+              slots[h] = Slot{gen, r, static_cast<int32_t>(refs.size())};
+              refs.push_back(r);
+            }
+            pos = slots[h].pos;
           }
-          ld[k * M + m] = pos;  // [K, M] layout
+          ld[k * M + m] = pos;  // [K, M] layout, first-seen numbering
+        }
+      }
+      const int32_t u = static_cast<int32_t>(refs.size());
+      local_max = std::max(local_max, u);
+      if (u > U) continue;  // chunk arrays invalid; caller falls back
+      order.assign(refs.size(), {0, 0});
+      for (int32_t j = 0; j < u; ++j) order[j] = {refs[j], j};
+      std::sort(order.begin(), order.end());
+      int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
+      for (int32_t j = 0; j < u; ++j) {
+        ii[j] = order[j].first;
+        newpos[order[j].second] = j;
+      }
+      for (int32_t j = u; j < U; ++j) ii[j] = -1;
+      int32_t* tm = tmask ? tmask + static_cast<int64_t>(c) * K : nullptr;
+      for (int32_t k = 0; k < K; ++k) {
+        if (tm) tm[k] = 0;
+        for (int32_t m = 0; m < M; ++m) {
+          int32_t pos = ld[k * M + m];
+          if (pos < 0) continue;
+          pos = newpos[pos];
+          ld[k * M + m] = pos;
+          if (tm) tm[k] |= int32_t{1} << (pos / tile);
         }
       }
     }
