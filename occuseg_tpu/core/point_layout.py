@@ -124,8 +124,9 @@ def apply_point_layout(batch: Dict[str, np.ndarray], plan,
         fill = _POINT_KEYS[k]
         if fill is None:
             fill = -1 if num_scenes is None else num_scenes
+        # fancy gather yields a fresh array; overwrite just the pad rows
+        # in place (a full-array np.where pass doubled the traffic)
         pv = np.asarray(v)[safe]
-        shape = (pad.shape[0],) + (1,) * (pv.ndim - 1)
-        out[k] = np.where(pad.reshape(shape), np.asarray(fill, pv.dtype),
-                          pv)
+        pv[pad] = fill
+        out[k] = pv
     return out

@@ -29,9 +29,12 @@ index-driven (-1 = missing).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from occuseg_tpu.core.topology import (
     LevelTopology,
@@ -141,6 +144,15 @@ def build_plan_host_blocked(point_coords: np.ndarray, spec: PlanSpec,
                               nrm)
         if sub is None:
             return None
+        # a scene at its sub-cap has silently truncated voxels that the
+        # concatenated layout (whole-batch cap) might have kept — surface
+        # it (ADVICE r4: bucketing returns the truncated plan unlogged)
+        if int(sub.levels[0].num_active) >= scaps[0]:
+            log.warning(
+                "blocked batch: scene %d hit its per-scene cap (%d level-0 "
+                "voxels) — input truncated; use a larger cap bucket or the "
+                "concatenated layout (OCC_BLOCKED=0 / blocked_batch=False)",
+                s, scaps[0])
         plans.append(sub)
         idxs.append(idx)
 
