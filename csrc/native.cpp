@@ -64,6 +64,20 @@ inline int64_t pack_key(int64_t x, int64_t y, int64_t z) {
   return ((x + (1 << 20)) << 42) | ((y + (1 << 20)) << 21) | (z + (1 << 20));
 }
 
+template <int64_t RB>
+void gather_rows_fixed(const char* src, char* dst, const int64_t* perm,
+                       int64_t n_out, const char* fill_row) {
+  constexpr int64_t kAhead = 24;
+  for (int64_t i = 0; i < n_out; ++i) {
+    if (i + kAhead < n_out) {
+      const int64_t p = perm[i + kAhead];
+      if (p >= 0) __builtin_prefetch(src + p * RB, 0, 1);
+    }
+    const int64_t p = perm[i];
+    std::memcpy(dst + i * RB, p >= 0 ? src + p * RB : fill_row, RB);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -189,6 +203,31 @@ int32_t voxelize_points(const int32_t* coords, int32_t n, int32_t* p2v) {
   return next;
 }
 
+// Row permutation with pad fill: dst[i] = perm[i] >= 0 ? src[perm[i]] :
+// fill_row, for arbitrary row_bytes. The hot path of the loader's
+// apply_point_layout (core/point_layout.py): NumPy fancy indexing runs the
+// same gather ~latency-bound (~30 ns/row); prefetching the source rows a
+// fixed distance ahead overlaps the misses.
+void gather_rows(const char* src, char* dst, const int64_t* perm,
+                 int64_t n_out, int64_t row_bytes, const char* fill_row) {
+  switch (row_bytes) {  // common loader widths get an inlined fixed copy
+    case 4: return gather_rows_fixed<4>(src, dst, perm, n_out, fill_row);
+    case 8: return gather_rows_fixed<8>(src, dst, perm, n_out, fill_row);
+    case 12: return gather_rows_fixed<12>(src, dst, perm, n_out, fill_row);
+    case 16: return gather_rows_fixed<16>(src, dst, perm, n_out, fill_row);
+  }
+  constexpr int64_t kAhead = 24;
+  for (int64_t i = 0; i < n_out; ++i) {
+    if (i + kAhead < n_out) {
+      const int64_t p = perm[i + kAhead];
+      if (p >= 0) __builtin_prefetch(src + p * row_bytes, 0, 1);
+    }
+    const int64_t p = perm[i];
+    std::memcpy(dst + i * row_bytes,
+                p >= 0 ? src + p * row_bytes : fill_row, row_bytes);
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -284,33 +323,52 @@ extern "C" {
 // Returns number of unique voxels (clamped to cap).
 int32_t plan_voxelize(const int32_t* coords, int32_t n, int32_t cap,
                       int64_t* out_keys, int32_t* out_coords, int32_t* p2v) {
-  std::vector<std::pair<int64_t, int32_t>> items(n);
-#pragma omp parallel for schedule(static)
+  // Valid keys are <= ~42 bits (12-bit batch id above a 36-bit Morton
+  // field), so a stable LSD radix sort (11-bit digits, 3-4 passes of
+  // sequential traffic) replaces the comparison sort. Stability keeps
+  // original point order within a voxel — bit-identical to sorting
+  // (key, index) pairs. Invalid points never enter the sort: their p2v
+  // is -1 regardless of position.
+  std::vector<int64_t> k0(n), k1(n);
+  std::vector<int32_t> i0(n), i1(n);
+  int32_t nv = 0;
+  int64_t maxk = 0;
   for (int32_t i = 0; i < n; ++i) {
-    items[i] = {morton_key(coords[i * 4], coords[i * 4 + 1],
-                           coords[i * 4 + 2], coords[i * 4 + 3]),
-                i};
+    const int64_t key = morton_key(coords[i * 4], coords[i * 4 + 1],
+                                   coords[i * 4 + 2], coords[i * 4 + 3]);
+    if (key >= kKeyPad) {
+      p2v[i] = -1;
+      continue;
+    }
+    k0[nv] = key;
+    i0[nv] = i;
+    maxk |= key;
+    ++nv;
   }
-#ifdef _OPENMP
-  // (key, original index) pairs are a total order -> the parallel sort is
-  // bit-identical to std::sort
-  __gnu_parallel::sort(items.begin(), items.end());
-#else
-  std::sort(items.begin(), items.end());
-#endif
+  const int bits = 64 - __builtin_clzll(static_cast<uint64_t>(maxk) | 1);
+  for (int shift = 0; shift < bits; shift += 11) {
+    size_t hist[2049] = {0};
+    for (int32_t j = 0; j < nv; ++j)
+      ++hist[((static_cast<uint64_t>(k0[j]) >> shift) & 2047) + 1];
+    for (int d = 1; d < 2049; ++d) hist[d] += hist[d - 1];
+    for (int32_t j = 0; j < nv; ++j) {
+      const size_t dst = hist[(static_cast<uint64_t>(k0[j]) >> shift)
+                              & 2047]++;
+      k1[dst] = k0[j];
+      i1[dst] = i0[j];
+    }
+    k0.swap(k1);
+    i0.swap(i1);
+  }
   for (int32_t j = 0; j < cap; ++j) {
     out_keys[j] = kKeyPad;
     for (int d = 0; d < 4; ++d) out_coords[j * 4 + d] = -1;
   }
   int32_t next = -1;
   int64_t prev = -1;
-  for (int32_t s = 0; s < n; ++s) {
-    const int64_t k = items[s].first;
-    const int32_t orig = items[s].second;
-    if (k >= kKeyPad) {
-      p2v[orig] = -1;
-      continue;
-    }
+  for (int32_t s = 0; s < nv; ++s) {
+    const int64_t k = k0[s];
+    const int32_t orig = i0[s];
     if (k != prev) {
       ++next;
       prev = k;
@@ -389,34 +447,140 @@ void plan_neighbor_map(const int64_t* keys, const int32_t* level_coords,
   for (int32_t k = 0; k < K; ++k)
     if (k != k_id && (pair_k[k] == -1 || pair_k[k] > k)) probe_ks[nk++] = k;
   std::memset(out_nbr, 0xFF, static_cast<size_t>(cap) * K * sizeof(int32_t));
+  // Query keys by MASKED MORTON ARITHMETIC on the row's own key instead of
+  // re-spreading coords: per axis a, with mask Ma over its interleaved bit
+  // positions and La its lowest mask bit, a +1 step is
+  // ((k|~Ma) + La) & Ma (carries ripple through the forced-1 filler bits)
+  // and a -1 step is ((k&Ma) - La) & Ma — each with an explicit
+  // saturation check (am == Ma / am == 0) because a 12-bit wrap would
+  // alias a REAL far-side voxel, not a miss. |d| > 1 (dilation) applies
+  // the unit step repeatedly.
+  const int64_t kMX = spread3(0xFFF);           // x bits (shift 0)
+  const int64_t kAxisMask[3] = {kMX << 2, kMX << 1, kMX};  // z, y, x
+  const int64_t kAxisLow[3] = {4, 2, 1};
+  // per probe offset: the per-axis step counts
+  int32_t steps[kMaxK][3];
+  for (int32_t i = 0; i < nk; ++i)
+    for (int32_t a = 0; a < 3; ++a) steps[i][a] = offsets[probe_ks[i] * 3 + a];
+  // Rows are processed in blocks so RB*nk probes are in flight at once —
+  // one row's 13 prefetches did not cover the dependent-load latency of a
+  // larger-than-L2 table (measured ~25 ns/probe; more MLP cuts it).
+  constexpr int32_t kRB = 8;
+  const int32_t num_blocks = (num_active + kRB - 1) / kRB;
 #pragma omp parallel for schedule(static)
-  for (int32_t r = 0; r < num_active; ++r) {
-    const int32_t b = level_coords[r * 4];
-    if (b < 0) continue;
-    if (k_id >= 0) out_nbr[static_cast<size_t>(r) * K + k_id] = r;
-    // two passes: compute every query's hash slot and prefetch it, THEN
-    // probe — the probes are independent random accesses into a table
-    // bigger than L2, so software pipelining hides most of the miss
-    // latency (the probe loop was ~33 ns/lookup, latency-bound)
-    int64_t q[kMaxK];
-    size_t s[kMaxK];
-    for (int32_t i = 0; i < nk; ++i) {
-      const int32_t k = probe_ks[i];
-      q[i] = morton_key(b, level_coords[r * 4 + 1] + offsets[k * 3],
-                        level_coords[r * 4 + 2] + offsets[k * 3 + 1],
-                        level_coords[r * 4 + 3] + offsets[k * 3 + 2]);
-      s[i] = table.slot(q[i]);
-      __builtin_prefetch(&table.keys_[s[i]], 0, 1);
+  for (int32_t blk = 0; blk < num_blocks; ++blk) {
+    const int32_t r0 = blk * kRB;
+    const int32_t r1 = std::min(num_active, r0 + kRB);
+    int64_t q[kRB * kMaxK];
+    size_t s[kRB * kMaxK];
+    int32_t qrow[kRB * kMaxK];
+    int32_t qk[kRB * kMaxK];
+    int32_t nq = 0;
+    for (int32_t r = r0; r < r1; ++r) {
+      const int32_t b = level_coords[r * 4];
+      if (b < 0) continue;
+      if (k_id >= 0) out_nbr[static_cast<size_t>(r) * K + k_id] = r;
+      const int64_t base = keys[r];
+      for (int32_t i = 0; i < nk; ++i) {
+        int64_t key = base;
+        bool ok = true;
+        for (int32_t a = 0; a < 3 && ok; ++a) {
+          int32_t d = steps[i][a];
+          if (d == 0) continue;
+          const int64_t Ma = kAxisMask[a];
+          const int64_t La = kAxisLow[a];
+          int64_t am = key & Ma;
+          if (d > 0) {
+            for (; d > 0; --d) {
+              if (am == Ma) { ok = false; break; }
+              am = ((am | ~Ma) + La) & Ma;
+            }
+          } else {
+            for (; d < 0; ++d) {
+              if (am == 0) { ok = false; break; }
+              am = (am - La) & Ma;
+            }
+          }
+          key = (key & ~Ma) | am;
+        }
+        if (!ok) continue;
+        q[nq] = key;
+        s[nq] = table.slot(key);
+        qrow[nq] = r;
+        qk[nq] = probe_ks[i];
+        __builtin_prefetch(&table.keys_[s[nq]], 0, 1);
+        ++nq;
+      }
     }
-    for (int32_t i = 0; i < nk; ++i) {
+    for (int32_t i = 0; i < nq; ++i) {
       const int32_t j = table.find_from(s[i], q[i]);
       if (j < 0) continue;
-      const int32_t k = probe_ks[i];
-      out_nbr[static_cast<size_t>(r) * K + k] = j;
+      const int32_t k = qk[i];
+      out_nbr[static_cast<size_t>(qrow[i]) * K + k] = j;
       if (pair_k[k] >= 0)
-        out_nbr[static_cast<size_t>(j) * K + pair_k[k]] = r;
+        out_nbr[static_cast<size_t>(j) * K + pair_k[k]] = qrow[i];
     }
   }
+}
+
+// Neighbor map for a FINE level derived from its PARENT level's 27-kernel
+// neighbor map instead of hash probes: for fine row r at coord c with
+// parent row pr, the neighbor at offset d sits at t = c + d, whose parent
+// is p' = t>>1 = p + e with e in {-1,0,1}^3 — so the row is
+//   child[ nbr_c[pr][k(e)] ][ octant(t) ].
+// Two dependent loads that stay cache-hot: Morton-consecutive rows are
+// siblings sharing pr, so the parent's nbr row and the ~27 child rows it
+// references are reused across 8 rows x 26 offsets. Requires the fine
+// kernel to be 3^3 dilation-1 and the coarse map to be the same 27-kernel;
+// the caller (native/plan.py) falls back to plan_neighbor_map otherwise or
+// when the coarse level may have truncated (cap overflow).
+// up: [cap,8] fine->parent (octant-slotted), child: [cap_c,8].
+// Returns 0 on success, -1 if a precondition fails (caller falls back).
+int32_t plan_neighbor_map_derived(
+    const int32_t* level_coords, int32_t cap, int32_t num_active,
+    const int32_t* offsets, int32_t K, const int32_t* up,
+    const int32_t* child, const int32_t* nbr_c, int32_t Kc,
+    int32_t* out_nbr) {
+  if (K != 27 || Kc != 27) return -1;
+  // e -> coarse kernel column (both levels use the same offset list)
+  int32_t ke[3][3][3];
+  for (int32_t k = 0; k < K; ++k) {
+    const int32_t* o = offsets + k * 3;
+    if (o[0] < -1 || o[0] > 1 || o[1] < -1 || o[1] > 1 || o[2] < -1 ||
+        o[2] > 1)
+      return -1;
+    ke[o[0] + 1][o[1] + 1][o[2] + 1] = k;
+  }
+  std::memset(out_nbr, 0xFF, static_cast<size_t>(cap) * K * sizeof(int32_t));
+#pragma omp parallel for schedule(static)
+  for (int32_t r = 0; r < num_active; ++r) {
+    const int32_t* c = level_coords + static_cast<size_t>(r) * 4;
+    if (c[0] < 0) continue;
+    const int32_t oct_r = (c[1] & 1) * 4 + (c[2] & 1) * 2 + (c[3] & 1);
+    const int32_t pr = up[static_cast<size_t>(r) * 8 + oct_r];
+    int32_t* out = out_nbr + static_cast<size_t>(r) * K;
+    if (pr < 0) {  // parent truncated: per-row recovery is impossible
+      out[ke[1][1][1]] = r;
+      continue;
+    }
+    const int32_t* prow = nbr_c + static_cast<size_t>(pr) * Kc;
+    const int32_t pz = c[1] >> 1, py = c[2] >> 1, px = c[3] >> 1;
+    for (int32_t k = 0; k < K; ++k) {
+      const int32_t* o = offsets + k * 3;
+      if (o[0] == 0 && o[1] == 0 && o[2] == 0) {
+        out[k] = r;
+        continue;
+      }
+      const int32_t tz = c[1] + o[0], ty = c[2] + o[1], tx = c[3] + o[2];
+      const int32_t ez = (tz >> 1) - pz, ey = (ty >> 1) - py,
+                    ex = (tx >> 1) - px;
+      const int32_t pn = prow[ke[ez + 1][ey + 1][ex + 1]];
+      if (pn < 0) continue;
+      const int32_t oct = (tz & 1) * 4 + (ty & 1) * 2 + (tx & 1);
+      out[k] = child[static_cast<size_t>(pn) * 8 + oct];
+    }
+  }
+  return 0;
 }
 
 // Stride-2 downsample of a built level + child/up transition maps.
@@ -481,81 +645,68 @@ int32_t plan_chunks(const int32_t* nbr, int32_t cap, int32_t K, int32_t M,
   {
     std::vector<int32_t> refs;
     refs.reserve(static_cast<size_t>(M) * K);
-    // chunk-local row->position map: open addressing with generation
-    // stamps (no per-chunk clearing). Every queried row >= 0 is present
-    // by construction (it was pushed into refs), so probes always hit.
-    // Sized for the worst case (every ref unique) so the dedup pass can
-    // insert all M*K refs of an overflowing chunk without filling up.
-    size_t hcap = 16;
-    while (hcap < std::max(static_cast<size_t>(U),
-                           static_cast<size_t>(M) * K) * 2)
-      hcap <<= 1;
-    const size_t hmask = hcap - 1;
-    // one 12-byte slot per entry (gen, key, pos together): a probe touches
-    // ONE cache line instead of three parallel arrays' worth
-    struct Slot { int32_t gen, key, pos; };
-    std::vector<Slot> slots(hcap, Slot{-1, 0, 0});
-    int32_t gen = -1;
-    auto hslot = [&](int32_t r) {
-      return static_cast<size_t>(
-                 static_cast<uint64_t>(static_cast<uint32_t>(r)) *
-                 2654435761ull >> 12) & hmask;
+    // chunk-local row->position map: a generation-stamped DIRECT-MAP
+    // array indexed by row id (no per-chunk clearing, no hashing). The
+    // chunk's referenced rows live in a narrow Morton span (p90 ~25k rows
+    // at L0 = ~200 KB of slots), so the accesses are L2-resident — the
+    // open-addressing hash this replaces paid a multiply+probe chain per
+    // ref into a cold table.
+    struct Slot { int32_t gen, pos; };
+    // transition tables (child/up) hold row ids of the OTHER level, which
+    // can exceed this table's own cap — grow on demand (resize keeps the
+    // existing generation stamps, so the dedup state stays valid)
+    std::vector<Slot> slots(static_cast<size_t>(cap), Slot{-1, 0});
+    auto slot_at = [&slots](int32_t r) -> Slot& {
+      if (static_cast<size_t>(r) >= slots.size())
+        slots.resize(static_cast<size_t>(r) * 2 + 16, Slot{-1, 0});
+      return slots[r];
     };
+    int32_t gen = -1;
     int32_t local_max = 0;
-    std::vector<std::pair<int32_t, int32_t>> order;  // (row, first-seen pos)
-    std::vector<int32_t> newpos;                     // first-seen -> sorted
-    order.reserve(static_cast<size_t>(M) * K);
-    newpos.resize(static_cast<size_t>(M) * K);
 #pragma omp for schedule(dynamic, 8)
     for (int32_t c = 0; c < C; ++c) {
       refs.clear();
       const int32_t* rows = nbr + static_cast<int64_t>(c) * M * K;
       int32_t* ld = lidx + static_cast<int64_t>(c) * K * M;
-      // ONE pass deduping via the stamped hash while writing FIRST-SEEN
-      // positions straight into lidx; afterwards sort only the ~U unique
-      // refs and remap lidx through a u-sized LUT. (Sorting all M*K refs
-      // and re-probing the hash for every lidx cell were the planner's
-      // two hottest chunk loops.)
+      // Pass 1 dedups the chunk's refs through the stamped map (the
+      // chunk's nbr block is ~7 KB, L1-resident for the re-read below);
+      // the unique list is then sorted and the map repointed to SORTED
+      // positions, so pass 2 writes lidx ONCE with final numbering —
+      // the former first-seen write + LUT-remap rewrite cost an extra
+      // full lidx store+load per level.
       ++gen;
-      for (int32_t m = 0; m < M; ++m) {
-        for (int32_t k = 0; k < K; ++k) {
-          const int32_t r = rows[m * K + k];
-          int32_t pos = -1;
-          if (r >= 0) {
-            size_t h = hslot(r);
-            while (slots[h].gen == gen && slots[h].key != r)
-              h = (h + 1) & hmask;
-            if (slots[h].gen != gen) {
-              slots[h] = Slot{gen, r, static_cast<int32_t>(refs.size())};
-              refs.push_back(r);
-            }
-            pos = slots[h].pos;
-          }
-          ld[k * M + m] = pos;  // [K, M] layout, first-seen numbering
+      for (int32_t t = 0; t < M * K; ++t) {
+        const int32_t r = rows[t];
+        if (r < 0) continue;
+        Slot& s = slot_at(r);
+        if (s.gen != gen) {
+          s = Slot{gen, static_cast<int32_t>(refs.size())};
+          refs.push_back(r);
         }
       }
       const int32_t u = static_cast<int32_t>(refs.size());
       local_max = std::max(local_max, u);
       if (u > U) continue;  // chunk arrays invalid; caller falls back
-      order.assign(refs.size(), {0, 0});
-      for (int32_t j = 0; j < u; ++j) order[j] = {refs[j], j};
-      std::sort(order.begin(), order.end());
+      std::sort(refs.begin(), refs.end());
       int32_t* ii = in_idx + static_cast<int64_t>(c) * U;
       for (int32_t j = 0; j < u; ++j) {
-        ii[j] = order[j].first;
-        newpos[order[j].second] = j;
+        ii[j] = refs[j];
+        slots[refs[j]].pos = j;
       }
       for (int32_t j = u; j < U; ++j) ii[j] = -1;
       int32_t* tm = tmask ? tmask + static_cast<int64_t>(c) * K : nullptr;
       for (int32_t k = 0; k < K; ++k) {
-        if (tm) tm[k] = 0;
+        int32_t bits = 0;
         for (int32_t m = 0; m < M; ++m) {
-          int32_t pos = ld[k * M + m];
-          if (pos < 0) continue;
-          pos = newpos[pos];
+          const int32_t r = rows[m * K + k];
+          int32_t pos = -1;
+          if (r >= 0) {
+            pos = slots[r].pos;
+            if (tm) bits |= int32_t{1} << (pos / tile);
+          }
           ld[k * M + m] = pos;
-          if (tm) tm[k] |= int32_t{1} << (pos / tile);
         }
+        if (tm) tm[k] = bits;
       }
     }
 #pragma omp critical

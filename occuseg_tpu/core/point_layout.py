@@ -24,6 +24,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from occuseg_tpu.native import gather_rows_native
+
 # Defaults sized for the ScanNet-like regime (~1.1-1.4 points per active
 # voxel): W voxels per block, R point slots per block. R/W = 1.29 slots
 # per voxel; blocks denser than that overflow into the tail sidecar.
@@ -124,9 +126,11 @@ def apply_point_layout(batch: Dict[str, np.ndarray], plan,
         fill = _POINT_KEYS[k]
         if fill is None:
             fill = -1 if num_scenes is None else num_scenes
-        # fancy gather yields a fresh array; overwrite just the pad rows
-        # in place (a full-array np.where pass doubled the traffic)
-        pv = np.asarray(v)[safe]
-        pv[pad] = fill
+        pv = gather_rows_native(np.asarray(v), perm, fill)
+        if pv is None:
+            # fancy gather yields a fresh array; overwrite just the pad
+            # rows in place (a full-array np.where pass doubled traffic)
+            pv = np.asarray(v)[safe]
+            pv[pad] = fill
         out[k] = pv
     return out

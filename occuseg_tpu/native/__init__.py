@@ -49,6 +49,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_neighbor_map.argtypes = [i64p, i32p, ctypes.c_int32,
                                           ctypes.c_int32, i32p,
                                           ctypes.c_int32, i32p]
+        lib.plan_neighbor_map_derived.restype = ctypes.c_int32
+        lib.plan_neighbor_map_derived.argtypes = [
+            i32p, ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_int32, i32p]
         lib.plan_downsample.restype = ctypes.c_int32
         lib.plan_downsample.argtypes = [i64p, i32p, ctypes.c_int32,
                                         ctypes.c_int32, ctypes.c_int32,
@@ -57,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.plan_chunks.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                     ctypes.c_int32, ctypes.c_int32,
                                     i32p, i32p, i32p, ctypes.c_int32]
+        lib.gather_rows.restype = None
+        lib.gather_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_char_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -121,3 +130,52 @@ def plan_chunks_native(nbr: np.ndarray, M: int, U: int, tile: int = 0):
     if max_uniq > U:
         return (None, max_uniq)
     return (in_idx, lidx, tmask) if tile else (in_idx, lidx)
+
+
+def gather_rows_native(src: np.ndarray, perm: np.ndarray,
+                       fill) -> Optional[np.ndarray]:
+    """out[i] = src[perm[i]] (fill where perm[i] < 0) via the prefetched
+    C++ row gather (csrc/native.cpp::gather_rows) — the loader's
+    apply_point_layout hot path. Returns None when the library is
+    unavailable (caller uses NumPy fancy indexing)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src)
+    perm = np.ascontiguousarray(perm, np.int64)
+    n = perm.shape[0]
+    out = np.empty((n,) + src.shape[1:], src.dtype)
+    row_bytes = src.dtype.itemsize
+    for d in src.shape[1:]:
+        row_bytes *= d
+    fill_row = np.full(src.shape[1:], fill, src.dtype).tobytes()
+    lib.gather_rows(src.ctypes.data_as(ctypes.c_void_p),
+                    out.ctypes.data_as(ctypes.c_void_p),
+                    perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    n, row_bytes, fill_row)
+    return out
+
+
+_malloc_retained = False
+
+
+def retain_malloc() -> None:
+    """Keep large freed blocks on the process heap (glibc mallopt).
+
+    The planner allocates ~150 MB of plan/chunk arrays per batch; glibc
+    serves blocks >128 KB with mmap and returns them to the OS on free, so
+    every batch re-pays first-touch page faults for the same memory
+    (~60 ms/batch measured on the bench scene). Raising M_MMAP_THRESHOLD
+    and M_TRIM_THRESHOLD keeps the pages resident across batches. Call
+    once from long-lived loader/trainer processes (the prefetchers do);
+    no-op if glibc is unavailable."""
+    global _malloc_retained
+    if _malloc_retained:
+        return
+    _malloc_retained = True
+    try:
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass

@@ -171,20 +171,15 @@ def build_plan_host(point_coords: np.ndarray, spec: PlanSpec,
         np.add.at(acc, p2v[valid], pn[valid])
         normals = _normalize(acc)
 
-    levels = []
+    # Phase 1: the full downsample chain (keys/coords/transitions/normals
+    # for every level). Neighbor maps come AFTER, coarse->fine, so each
+    # fine level can derive its map from the parent's (plan_neighbor_map_
+    # derived: two cached loads per query instead of a hash-probe chain).
+    lvl_data = []  # (keys, coords, n, normals-or-None) per level
     transitions = []
     cur_keys, cur_coords, cur_n = keys, coords, n0
     for li, cap in enumerate(spec.caps):
-        nbr = np.empty((cap, K), np.int32)
-        lib.plan_neighbor_map(_ptr(cur_keys, ctypes.c_int64),
-                              _ptr(cur_coords, ctypes.c_int32), cap,
-                              cur_n, _ptr(offs, ctypes.c_int32), K,
-                              _ptr(nbr, ctypes.c_int32))
-        levels.append(LevelTopology(
-            keys=cur_keys, coords=cur_coords,
-            num_active=np.int32(cur_n), nbr=nbr,
-            orient=(_orient_class(normals) if normals is not None
-                    else np.zeros(cap, np.int32))))
+        lvl_data.append((cur_keys, cur_coords, cur_n, normals))
         if li + 1 < len(spec.caps):
             cap_c = spec.caps[li + 1]
             if fast_down:
@@ -219,6 +214,42 @@ def build_plan_host(point_coords: np.ndarray, spec: PlanSpec,
                                     normals[np.clip(child, 0, None)], 0.0)
                 normals = _normalize(gathered.sum(axis=1))
             cur_keys, cur_coords, cur_n = ckeys, ccoords, nc
+
+    # Phase 2: neighbor maps, coarsest first. A fine level uses the
+    # derived path only when it is bit-identical to the probe path by
+    # construction: 3^3 dilation-1 kernel, stride-2 transition, and the
+    # coarse level did NOT hit its cap (a truncated parent would hide
+    # fine neighbors the hash probe still finds).
+    small3 = K == 27 and bool((np.abs(offs) <= 1).all())
+    nbrs = [None] * len(spec.caps)
+    for li in reversed(range(len(spec.caps))):
+        lk, lc, ln, _ = lvl_data[li]
+        cap = spec.caps[li]
+        nbr = np.empty((cap, K), np.int32)
+        derived = -1
+        if (small3 and fast_down and li + 1 < len(spec.caps)
+                and lvl_data[li + 1][2] < spec.caps[li + 1]):
+            tr = transitions[li]
+            derived = lib.plan_neighbor_map_derived(
+                _ptr(lc, ctypes.c_int32), cap, ln,
+                _ptr(offs, ctypes.c_int32), K,
+                _ptr(tr.up, ctypes.c_int32),
+                _ptr(tr.child, ctypes.c_int32),
+                _ptr(nbrs[li + 1], ctypes.c_int32), K,
+                _ptr(nbr, ctypes.c_int32))
+        if derived != 0:
+            lib.plan_neighbor_map(_ptr(lk, ctypes.c_int64),
+                                  _ptr(lc, ctypes.c_int32), cap,
+                                  ln, _ptr(offs, ctypes.c_int32), K,
+                                  _ptr(nbr, ctypes.c_int32))
+        nbrs[li] = nbr
+
+    levels = []
+    for li, (lk, lc, ln, lnormals) in enumerate(lvl_data):
+        levels.append(LevelTopology(
+            keys=lk, coords=lc, num_active=np.int32(ln), nbr=nbrs[li],
+            orient=(_orient_class(lnormals) if lnormals is not None
+                    else np.zeros(spec.caps[li], np.int32))))
 
     num_points = np.int64(int((p2v >= 0).sum()))
     return Topology(levels=tuple(levels), transitions=tuple(transitions),

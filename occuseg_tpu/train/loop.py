@@ -118,8 +118,10 @@ def plan_prefetcher(batches: Iterable[Dict], spec, depth: int = 2,
     ALSO built in the worker and yielded as the second element. `ns` > 1
     (multi-scene batches, no spatial): the BLOCKED layout
     (native/blocked.py) — u_bump then does not apply."""
+    from occuseg_tpu.native import retain_malloc
     from occuseg_tpu.native.plan import build_plan_host
 
+    retain_malloc()  # plan arrays are ~150 MB/batch; avoid refaulting
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
     blocked = ns > 1 and spatial is None
@@ -186,8 +188,10 @@ def _host_plan_any(coords: np.ndarray, spec, normals=None,
     multi-scene layout (native/blocked.py: per-scene sub-caps, window
     staging — u_bump then does not apply, chunks are scene-pure)."""
     from occuseg_tpu.core.topology import build_plan
+    from occuseg_tpu.native import retain_malloc
     from occuseg_tpu.native.plan import build_plan_host
 
+    retain_malloc()  # plan arrays are ~150 MB/batch; avoid refaulting
     if ns > 1:
         from occuseg_tpu.native.blocked import build_plan_host_blocked
         plan = build_plan_host_blocked(coords, spec, ns, normals)
